@@ -1,0 +1,182 @@
+"""On-device pyramid resize + dense window extraction + window re-gather.
+
+This module replaces the reference's hottest host loops with single jitted
+XLA programs:
+
+  * ``Window.extract_windows`` (data/rectangles.py:309-435): per-window Python
+    slicing over a lazily resized pyramid  ->  :func:`extract_windows`, one
+    fused resize+gather program per (image-size, window-size) bucket.
+  * ``InferenceCascadeApp._get_increased_raw_window_for_next_net``
+    (app/inference_cascade_app.py:346-401): per-window ``cv2.resize`` on the
+    host  ->  :func:`crop_and_resize`, a batched bilinear gather that
+    re-extracts all surviving windows at the next cascade resolution in one
+    program, directly from the original image kept in HBM.
+
+All shapes are static: the pyramid schedule is a hashable
+:class:`..ops.pyramid.PyramidPlan` passed as a jit-static argument, and the
+survivor set of the cascade uses fixed-capacity buffers (see models/cascade).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pyramid import PyramidPlan
+
+
+def resize_image(image: jnp.ndarray, out_h: int, out_w: int, *, antialias: bool = True) -> jnp.ndarray:
+    """Bilinear image resize (H, W, C) -> (out_h, out_w, C) in float32.
+
+    Stands in for scipy.misc.imresize / PIL bilinear (reference
+    data/image_info.py:240); exact filter taps differ across libraries, so
+    parity is within float tolerance by design.
+    """
+    image = image.astype(jnp.float32)
+    if image.shape[0] == out_h and image.shape[1] == out_w:
+        return image
+    return jax.image.resize(
+        image, (out_h, out_w, image.shape[2]), method="bilinear", antialias=antialias
+    )
+
+
+def _quantize_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """Round to the uint8 lattice but stay in float32 (the reference pipeline
+    materializes uint8 pixels before standardization, data/image_info.py:236)."""
+    return jnp.clip(jnp.round(x), 0.0, 255.0)
+
+
+def _windows_one_scale(
+    img_scaled: jnp.ndarray,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    window_h: int,
+    window_w: int,
+) -> jnp.ndarray:
+    """Gather the full window grid from one pyramid level.
+
+    Returns (nx * ny, window_h, window_w, C) in plan ordering (x-major).
+    Implemented as two axis gathers (rows then columns) so XLA lowers it to
+    efficient strided HBM reads instead of a per-window gather.
+    """
+    ny = len(ys)
+    nx = len(xs)
+    c = img_scaled.shape[-1]
+    ys_idx = jnp.asarray(ys, dtype=jnp.int32)[:, None] + jnp.arange(
+        window_h, dtype=jnp.int32
+    )
+    rows = img_scaled[ys_idx]  # (ny, wh, sw, C)
+    xs_idx = jnp.asarray(xs, dtype=jnp.int32)[:, None] + jnp.arange(
+        window_w, dtype=jnp.int32
+    )
+    wins = rows[:, :, xs_idx]  # (ny, wh, nx, ww, C)
+    wins = jnp.transpose(wins, (2, 0, 1, 3, 4))  # (nx, ny, wh, ww, C)
+    return wins.reshape(nx * ny, window_h, window_w, c)
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "quantize", "antialias"))
+def extract_windows(
+    image: jnp.ndarray,
+    plan: PyramidPlan,
+    *,
+    quantize: bool = True,
+    antialias: bool = True,
+) -> jnp.ndarray:
+    """Extract every sliding window of the pyramid schedule from ``image``.
+
+    ``image``: (img_h, img_w, C) uint8/float. Returns
+    (plan.n_windows, window_h, window_w, C) float32, in plan ordering
+    (scale-major, then x, then y — identical to the reference's extraction
+    order, data/rectangles.py:363-409).
+    """
+    if image.shape[0] != plan.img_h or image.shape[1] != plan.img_w:
+        raise ValueError(
+            "image shape {} does not match plan ({}, {})".format(
+                image.shape, plan.img_h, plan.img_w
+            )
+        )
+    image = image.astype(jnp.float32)
+    parts = []
+    for s in plan.scales:
+        scaled = resize_image(image, s.scaled_h, s.scaled_w, antialias=antialias)
+        if quantize and s.scale != 1.0:
+            scaled = _quantize_u8(scaled)
+        parts.append(
+            _windows_one_scale(
+                scaled, np.asarray(s.xs), np.asarray(s.ys), plan.window_h, plan.window_w
+            )
+        )
+    return jnp.concatenate(parts, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "quantize"))
+def crop_and_resize(
+    image: jnp.ndarray,
+    boxes: jnp.ndarray,
+    *,
+    out_h: int,
+    out_w: int,
+    quantize: bool = True,
+) -> jnp.ndarray:
+    """Batched crop + bilinear resize straight from the full-resolution image.
+
+    ``image``: (H, W, C); ``boxes``: (N, 4) in original pixel coordinates
+    (xmin, ymin, xmax, ymax) with *exclusive* max (numpy-slice semantics, like
+    the reference's ``Window.raw_norm`` crop, data/rectangles.py:293-307).
+    Returns (N, out_h, out_w, C) float32.
+
+    Sampling uses the half-pixel convention of ``cv2.resize`` applied to the
+    cropped patch (app/inference_cascade_app.py:371-373), with coordinates
+    clamped to the patch interior (replicate border).
+    """
+    image = image.astype(jnp.float32)
+    boxes = boxes.astype(jnp.float32)
+    xmin, ymin, xmax, ymax = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    box_w = xmax - xmin
+    box_h = ymax - ymin
+
+    # output pixel o samples input coordinate (o + 0.5) * (in/out) - 0.5
+    oy = (jnp.arange(out_h, dtype=jnp.float32) + 0.5)[None, :]  # (1, out_h)
+    ox = (jnp.arange(out_w, dtype=jnp.float32) + 0.5)[None, :]
+    local_y = oy * (box_h[:, None] / out_h) - 0.5  # (N, out_h)
+    local_x = ox * (box_w[:, None] / out_w) - 0.5
+    # clamp inside the crop (replicate border), then shift to image coords
+    local_y = jnp.clip(local_y, 0.0, jnp.maximum(box_h[:, None] - 1.0, 0.0))
+    local_x = jnp.clip(local_x, 0.0, jnp.maximum(box_w[:, None] - 1.0, 0.0))
+    sy = local_y + ymin[:, None]  # (N, out_h)
+    sx = local_x + xmin[:, None]  # (N, out_w)
+
+    h, w = image.shape[0], image.shape[1]
+    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (sy - y0.astype(jnp.float32))[:, :, None, None]  # (N, out_h, 1, 1)
+    wx = (sx - x0.astype(jnp.float32))[:, None, :, None]  # (N, 1, out_w, 1)
+
+    def gather(yi, xi):
+        # (N, out_h, W, C) row gather then (N, out_h, out_w, C) column gather
+        rows = image[yi]  # (N, out_h, W, C)
+        return jnp.take_along_axis(
+            rows, xi[:, None, :, None].repeat(rows.shape[1], axis=1), axis=2
+        )
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    out = top * (1.0 - wy) + bot * wy
+    if quantize:
+        out = _quantize_u8(out)
+    return out
+
+
+def count_compiles_hint(plan: PyramidPlan) -> int:
+    """Diagnostic: number of XLA ops-heavy levels in the plan (one resize +
+    one double-gather each)."""
+    return plan.n_scales

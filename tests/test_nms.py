@@ -1,0 +1,166 @@
+"""groupRectangles parity.
+
+The reference's NMS backend is ``cv2.groupRectangles``
+(app/inference_app.py:198-212). The cv2 build in this image ships without the
+objdetect module, so the oracle below is an independent scalar union-find
+transliteration of the documented OpenCV algorithm (SimilarRects partition ->
+class average -> min_neighbors filter -> containment rejection); the
+vectorized implementations must match it exactly."""
+
+import numpy as np
+import pytest
+
+from rapidobjectdetectionusingcascadedcnns_tpu.ops import nms
+
+
+def _oracle_group(rects, min_neighbors, eps=0.2):
+    """Scalar union-find groupRectangles oracle."""
+    n = len(rects)
+    if n == 0:
+        return np.zeros((0, 4), np.int64), np.zeros((0,), np.int64)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def similar(a, b):
+        delta = eps * (min(a[2], b[2]) + min(a[3], b[3])) * 0.5
+        return (
+            abs(a[0] - b[0]) <= delta
+            and abs(a[1] - b[1]) <= delta
+            and abs(a[0] + a[2] - b[0] - b[2]) <= delta
+            and abs(a[1] + a[3] - b[1] - b[3]) <= delta
+        )
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if similar(rects[i], rects[j]):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[ri] = rj
+
+    roots = {}
+    for i in range(n):
+        roots.setdefault(find(i), []).append(i)
+
+    classes = []
+    for members in roots.values():
+        cnt = len(members)
+        if cnt <= min_neighbors:
+            continue
+        s = np.sum([rects[m] for m in members], axis=0).astype(np.float64)
+        avg = np.rint(s / cnt).astype(np.int64)
+        classes.append((avg, cnt))
+
+    kept = []
+    for i, (r1, n1) in enumerate(classes):
+        ok = True
+        for j, (r2, n2) in enumerate(classes):
+            if i == j:
+                continue
+            dx = int(r1[2] * 0.2)
+            dy = int(r1[3] * 0.2)
+            if (
+                r1[0] >= r2[0] - dx
+                and r1[1] >= r2[1] - dy
+                and r1[0] + r1[2] <= r2[0] + r2[2] + dx
+                and r1[1] + r1[3] <= r2[1] + r2[3] + dy
+                and n2 > max(3, n1)
+            ):
+                ok = False
+                break
+        if ok:
+            kept.append((r1, n1))
+    if not kept:
+        return np.zeros((0, 4), np.int64), np.zeros((0,), np.int64)
+    return (
+        np.stack([k[0] for k in kept]),
+        np.array([k[1] for k in kept], np.int64),
+    )
+
+
+_cv2_group = _oracle_group
+
+
+def _as_sets(rects, weights):
+    return sorted(map(tuple, np.concatenate([rects, weights[:, None]], axis=1).tolist()))
+
+
+def _random_clusters(rng, n_clusters, per_cluster, jitter, size=60):
+    rects = []
+    for _ in range(n_clusters):
+        cx, cy = rng.randint(50, 400, size=2)
+        for _ in range(per_cluster):
+            dx, dy, dw, dh = rng.randint(-jitter, jitter + 1, size=4)
+            rects.append((cx + dx, cy + dy, size + dw, size + dh))
+    return np.array(rects, dtype=np.int64)
+
+
+@pytest.mark.parametrize("min_neighbors", [0, 1, 2, 3])
+def test_matches_cv2_on_random_clusters(min_neighbors, rng):
+    for trial in range(8):
+        rects = _random_clusters(
+            rng, n_clusters=rng.randint(1, 5), per_cluster=rng.randint(1, 6), jitter=4
+        )
+        ours_r, ours_w = nms.group_rectangles(rects, min_neighbors)
+        cv_r, cv_w = _cv2_group(rects, min_neighbors)
+        assert _as_sets(ours_r, ours_w) == _as_sets(cv_r, cv_w), (
+            trial,
+            min_neighbors,
+            rects.tolist(),
+        )
+
+
+def test_matches_cv2_on_scattered_singletons(rng):
+    rects = np.stack(
+        [
+            rng.randint(0, 500, size=20),
+            rng.randint(0, 500, size=20),
+            rng.randint(20, 80, size=20),
+            rng.randint(20, 80, size=20),
+        ],
+        axis=1,
+    )
+    for mn in (0, 1, 2):
+        ours_r, ours_w = nms.group_rectangles(rects, mn)
+        cv_r, cv_w = _cv2_group(rects, mn)
+        assert _as_sets(ours_r, ours_w) == _as_sets(cv_r, cv_w)
+
+
+def test_empty_input():
+    r, w = nms.group_rectangles(np.zeros((0, 4)), 1)
+    assert len(r) == 0 and len(w) == 0
+
+
+def test_nms_boxes_xyxy_roundtrip():
+    boxes = np.array([[10, 10, 70, 70], [12, 11, 71, 72], [300, 300, 360, 360]])
+    kept, weights = nms.nms_boxes(boxes, min_neighbors=1)
+    # the isolated box has only 1 member -> rejected at min_neighbors=1
+    assert len(kept) == 1
+    assert weights[0] == 2
+    assert kept[0][2] > kept[0][0] and kept[0][3] > kept[0][1]
+
+
+def test_jax_variant_matches_numpy(rng):
+    import jax.numpy as jnp
+
+    for mn in (0, 1, 2):
+        rects = _random_clusters(rng, 3, 4, 4)
+        n = len(rects)
+        pad = 8  # exercise padding rows
+        rects_p = np.concatenate([rects, np.zeros((pad, 4))], axis=0)
+        valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+        avg, counts, keep = nms.group_rectangles_jax(
+            jnp.asarray(rects_p, jnp.float32), jnp.asarray(valid), mn
+        )
+        ours = [
+            tuple(np.asarray(avg[i]).tolist()) + (int(counts[i]),)
+            for i in range(n + pad)
+            if bool(keep[i])
+        ]
+        ref_r, ref_w = nms.group_rectangles(rects, mn)
+        ref = [tuple(r.tolist()) + (int(w),) for r, w in zip(ref_r, ref_w)]
+        assert sorted(ours) == sorted(ref)
