@@ -1,0 +1,329 @@
+"""Cascade inference engine: jitted multi-stage early-reject over window batches.
+
+This replaces the reference's cascade loop
+(app/inference_cascade_app.py:119-342), which crosses the host<->device
+boundary per batch per stage and filters survivors in Python, with a single
+jitted XLA program per image-size bucket:
+
+  stage 0:  fused pyramid resize + dense window gather  (ops/windows.py)
+            -> tiny CNN over all windows -> foreground probs
+  between:  *mask compaction* — survivors are moved to the front of a
+            fixed-capacity buffer by an argsort on (alive, prob) and the
+            next stage's windows are re-gathered at the higher resolution
+            directly from the original image (crop_and_resize), bottlenecks
+            carried through the same gather
+  stage i:  CNN with previous-stage bottleneck concat -> probs -> mask &
+  last:     surviving (window index, confidence) pairs leave the device;
+            NMS clustering + vertical enlargement run on host (candidate
+            counts are tiny by then).
+
+The data-dependent survivor counts of the reference become static-capacity
+buffers chosen from pyramid math, so each stage compiles once; confidences
+follow the reference's LAST/AVG/MULT accumulation modes
+(config.py:115-122, inference_cascade_app.py:226-232,317-327).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as cf
+from ..ops import nms as nms_ops
+from ..ops import rectangles as rect_ops
+from ..ops.pyramid import PyramidPlan, build_plan, window_table
+from ..ops.windows import crop_and_resize, extract_windows
+from . import cnn
+
+
+@dataclass
+class CascadeModel:
+    """Trained cascade: per-stage params/configs/standardization stats."""
+
+    stage_params: List[cnn.Params]
+    stage_configs: List[cnn.StageConfig]
+    stage_means: List[np.ndarray]  # (H, W, C) float32 per stage
+    stage_stds: List[np.ndarray]
+
+    @property
+    def n_nets(self) -> int:
+        return len(self.stage_params)
+
+    @property
+    def input_sizes(self) -> List[int]:
+        return [c.input_size for c in self.stage_configs]
+
+
+@dataclass
+class DetectionResult:
+    """Detections for one image, boxes in original pixel coords (xyxy)."""
+
+    boxes: np.ndarray  # (M, 4) after NMS
+    confidences: np.ndarray  # (M,)
+    raw_boxes: np.ndarray  # pre-NMS surviving windows (K, 4)
+    raw_confidences: np.ndarray  # (K,)
+    n_windows: int  # total windows evaluated at stage 0
+    n_survivors_per_stage: List[int]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def default_capacity_schedule(n_windows: int, n_stages: int) -> List[int]:
+    """Fixed survivor capacities after each non-final stage.
+
+    Early stages of a working cascade reject the vast majority of windows
+    (that is their entire purpose), so 1/4 and 1/16 of the pyramid are
+    generous ceilings; floors keep tiny pyramids functional and multiples of
+    128 keep buffers lane-aligned for the TPU.
+    """
+    caps = []
+    for i in range(1, n_stages):
+        frac = n_windows // (4**i)
+        caps.append(min(n_windows, _round_up(max(256, frac), 128)))
+    return caps
+
+
+def resolve_thresholds(n_stages: int) -> List[float]:
+    """Scalar-or-list foreground_confidence_threshold
+    (config.py:64-73, inference_cascade_app.py:165-175)."""
+    thr = cf.get("foreground_confidence_threshold")
+    if isinstance(thr, (int, float)):
+        return [float(thr)] * n_stages
+    if len(thr) != n_stages:
+        raise ValueError("Invalid foreground_confidence_threshold.")
+    return [float(t) for t in thr]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "plan",
+        "stage_configs",
+        "capacities",
+        "confidence_mode",
+        "thresholds",
+    ),
+)
+def _cascade_infer_device(
+    image: jnp.ndarray,
+    coords_norm: jnp.ndarray,  # (N0, 4) int32 window coords on original image
+    stage_params: Tuple[cnn.Params, ...],
+    stage_stats: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...],  # (mean, std) pairs
+    plan: PyramidPlan,
+    stage_configs: Tuple[cnn.StageConfig, ...],
+    capacities: Tuple[int, ...],
+    confidence_mode: str,
+    thresholds: Tuple[float, ...],
+):
+    """Full-cascade single-image inference as one XLA program.
+
+    Returns (window_ids (C_last,), confidences (C_last,), alive (C_last,),
+    survivors_per_stage (n_stages,)).
+    """
+    n_stages = len(stage_configs)
+    image_f = image.astype(jnp.float32)
+
+    # ---- stage 0: dense pyramid windows ----
+    windows = extract_windows(image_f, plan)  # (N0, s0, s0, C)
+    mean0, std0 = stage_stats[0]
+    x = (windows - mean0) / std0
+    out = cnn.apply_stage(stage_params[0], stage_configs[0], x)
+    p_fg = out["probs"][:, 1]
+    alive = p_fg > thresholds[0]
+    if confidence_mode == cf.FINAL_CONFIDENCE_CALCULATION_AVG:
+        conf = p_fg
+    elif confidence_mode == cf.FINAL_CONFIDENCE_CALCULATION_MULT:
+        conf = p_fg
+    else:  # LAST
+        conf = p_fg
+
+    window_ids = jnp.arange(windows.shape[0], dtype=jnp.int32)
+    bottleneck = out["bottleneck"]
+    survivors = [jnp.sum(alive.astype(jnp.int32))]
+
+    for i in range(1, n_stages):
+        cap = capacities[i - 1]
+        # ---- compaction: alive windows first, strongest first ----
+        order = jnp.argsort(-(alive.astype(jnp.float32) * (1.0 + p_fg)))
+        keep = order[:cap]
+        alive = alive[keep]
+        conf = conf[keep]
+        p_fg = p_fg[keep]
+        window_ids = window_ids[keep]
+        bottleneck = bottleneck[keep]
+
+        # ---- re-gather surviving windows at the next resolution ----
+        size = stage_configs[i].input_size
+        boxes = coords_norm[window_ids].astype(jnp.float32)
+        wins = crop_and_resize(image_f, boxes, out_h=size, out_w=size)
+        mean_i, std_i = stage_stats[i]
+        x = (wins - mean_i) / std_i
+
+        bneck_in = (
+            bottleneck if stage_configs[i].bottleneck_in_size is not None else None
+        )
+        out = cnn.apply_stage(stage_params[i], stage_configs[i], x, bneck_in)
+        p_i = out["probs"][:, 1]
+        stage_alive = p_i > thresholds[i]
+        alive = alive & stage_alive
+
+        if confidence_mode == cf.FINAL_CONFIDENCE_CALCULATION_AVG:
+            conf = conf + p_i
+        elif confidence_mode == cf.FINAL_CONFIDENCE_CALCULATION_MULT:
+            conf = conf * p_i
+        else:  # LAST: only the final net's score matters
+            conf = p_i
+        p_fg = p_i
+        bottleneck = out["bottleneck"]
+        survivors.append(jnp.sum(alive.astype(jnp.int32)))
+
+    # finalize confidence (inference_cascade_app.py:322-327)
+    if confidence_mode == cf.FINAL_CONFIDENCE_CALCULATION_AVG:
+        conf = conf / n_stages
+    elif confidence_mode == cf.FINAL_CONFIDENCE_CALCULATION_MULT:
+        conf = jnp.maximum(conf, cf.MIN_SCORE_FOR_FINAL_CONFIDENCE_CALCULATION_MULT)
+
+    return window_ids, conf, alive, jnp.stack(survivors)
+
+
+class CascadeDetector:
+    """Host-side orchestration around the jitted cascade program.
+
+    One instance per trained :class:`CascadeModel`; jit caching is keyed on
+    the pyramid plan (image-size bucket), so detecting over a video stream or
+    a fixed-size benchmark compiles exactly once.
+    """
+
+    def __init__(self, model: CascadeModel, capacity_schedule=None):
+        if model.n_nets < 2:
+            raise ValueError("a cascade must consist of at least two nets")
+        self.model = model
+        self._capacity_override = capacity_schedule or cf.get(
+            "cascade_capacity_schedule"
+        )
+        self._stats_device = tuple(
+            (jnp.asarray(m), jnp.asarray(s))
+            for m, s in zip(model.stage_means, model.stage_stds)
+        )
+        self._params_device = tuple(
+            jax.tree_util.tree_map(jnp.asarray, p) for p in model.stage_params
+        )
+
+    # -- plan/table caching per image size ------------------------------
+    @functools.lru_cache(maxsize=128)
+    def _plan_and_table(self, img_h: int, img_w: int):
+        size0 = self.model.input_sizes[0]
+        plan = build_plan(
+            img_h,
+            img_w,
+            size0,
+            size0,
+            cf.get("min_window_length"),
+            cf.get("window_scale_factor"),
+        )
+        table = window_table(plan)
+        coords_norm = jnp.asarray(table["coords_norm"], dtype=jnp.int32)
+        return plan, table, coords_norm
+
+    def detect(self, image: np.ndarray) -> DetectionResult:
+        """Run the full pyramid cascade on one (H, W, 3) uint8 image."""
+        img_h, img_w = image.shape[0], image.shape[1]
+        plan, table, coords_norm = self._plan_and_table(img_h, img_w)
+        if plan.n_windows < 1:
+            raise ValueError("Could not extract any windows from the given image")
+
+        n_stages = self.model.n_nets
+        capacities = tuple(
+            self._capacity_override
+            or default_capacity_schedule(plan.n_windows, n_stages)
+        )
+        thresholds = tuple(resolve_thresholds(n_stages))
+        mode = cf.get("final_confidence_calculation")
+
+        window_ids, conf, alive, survivors = _cascade_infer_device(
+            jnp.asarray(image),
+            coords_norm,
+            self._params_device,
+            self._stats_device,
+            plan,
+            tuple(self.model.stage_configs),
+            capacities,
+            mode,
+            thresholds,
+        )
+
+        window_ids = np.asarray(window_ids)
+        conf = np.asarray(conf)
+        alive = np.asarray(alive)
+        survivors = [int(s) for s in np.asarray(survivors)]
+
+        keep_ids = window_ids[alive]
+        raw_boxes = table["coords_norm"][keep_ids]
+        raw_conf = conf[alive]
+
+        boxes, confidences = self._postprocess(raw_boxes, raw_conf, img_h)
+        return DetectionResult(
+            boxes=boxes,
+            confidences=confidences,
+            raw_boxes=raw_boxes,
+            raw_confidences=raw_conf,
+            n_windows=plan.n_windows,
+            n_survivors_per_stage=survivors,
+        )
+
+    def detect_batch(self, images: Sequence[np.ndarray]) -> List[DetectionResult]:
+        """Detect over a list of images (the reference's merge mode,
+        app/abstract_inference_app.py:38-106, without its host-side window
+        merging — each image is one fused device program here)."""
+        return [self.detect(img) for img in images]
+
+    def _postprocess(self, boxes: np.ndarray, conf: np.ndarray, img_h: int):
+        """NMS + optional vertical enlargement
+        (app/inference_app.py:219-231)."""
+        if len(boxes) == 0:
+            return np.zeros((0, 4), np.float64), np.zeros((0,), np.float64)
+        if cf.get("nms") == cf.NMS_OPENCV:
+            out_boxes, weights = nms_ops.nms_boxes(
+                boxes, cf.get("nms_opencv_min_neighbors")
+            )
+            out_boxes = out_boxes.astype(np.float64)
+            out_conf = weights.astype(np.float64)
+        else:
+            out_boxes = boxes.astype(np.float64)
+            out_conf = conf.astype(np.float64)
+        if cf.get("vertically_enlarge_bboxes") and len(out_boxes):
+            out_boxes = rect_ops.vertically_enlarge(out_boxes, enlarge_top=0.2)
+        return out_boxes, out_conf
+
+
+def build_cascade_model(
+    seed: int = 0,
+    n_nets: Optional[int] = None,
+    img_size_max: Optional[int] = None,
+) -> CascadeModel:
+    """Randomly initialized cascade with config-driven architecture (useful
+    for tests/benchmarks before training)."""
+    n_nets = n_nets or cf.get("cascade_n_nets")
+    img_size_max = img_size_max or cf.get("img_width")
+    sizes = cnn.stage_input_sizes(
+        n_nets, img_size_max, cf.get("cascade_increasing_input_dimensions")
+    )
+    key = jax.random.PRNGKey(seed)
+    params_list, config_list, means, stds = [], [], [], []
+    bneck = None
+    for i, size in enumerate(sizes):
+        sc = cnn.StageConfig.from_config(size, bottleneck_in_size=bneck)
+        key, sub = jax.random.split(key)
+        params_list.append(cnn.init_stage(sub, sc))
+        config_list.append(sc)
+        means.append(np.full((size, size, 3), 127.5, np.float32))
+        stds.append(np.full((size, size, 3), 64.0, np.float32))
+        bneck = sc.bottleneck_out_size if cf.get("reuse_bottlenecks") else None
+    return CascadeModel(params_list, config_list, means, stds)
