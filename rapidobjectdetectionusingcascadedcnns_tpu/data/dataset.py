@@ -250,7 +250,9 @@ class DeterministicIterator(_BaseIterator):
     def _calculate_next_batch(self) -> Batch:
         end = min(self._next_start + self.batch_size, self._split.n_samples)
         if self._perm is not None:
-            idx = self._perm[self._next_start : end]
+            # copy: the end-of-epoch shuffle below mutates _perm in place and
+            # a numpy slice would be a live view into it
+            idx = self._perm[self._next_start : end].copy()
         else:
             idx = np.arange(self._next_start, end)
         if self.next_batch_is_last_of_epoch:

@@ -95,12 +95,15 @@ def f_beta_key(beta: float) -> str:
 # ---------------------------------------------------------------------------
 
 
-def confusion_counts(logits: jnp.ndarray, labels: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+def confusion_counts(
+    logits: jnp.ndarray, labels: jnp.ndarray, valid_mask: jnp.ndarray | None = None
+) -> Dict[str, jnp.ndarray]:
     """Integer TP/FP/TN/FN sums for one batch.
 
     Correctness uses argmax plus the reference's anti-constant-function guard:
     a prediction only counts as correct if the two class scores differ
-    (network/net.py:355-364).
+    (network/net.py:355-364). ``valid_mask`` excludes padding rows so batches
+    can be padded to mesh-divisible shapes.
     """
     best = jnp.argmax(logits, axis=1).astype(jnp.int32)
     different = logits[:, 0] != logits[:, 1]
@@ -108,23 +111,31 @@ def confusion_counts(logits: jnp.ndarray, labels: jnp.ndarray) -> Dict[str, jnp.
     is_pos = labels.astype(bool)
     is_neg = ~is_pos
     wrong = ~correct
+    valid = (
+        jnp.ones(labels.shape, bool) if valid_mask is None else valid_mask.astype(bool)
+    )
     return {
-        "true_positives": jnp.sum((correct & is_pos).astype(jnp.int32)),
-        "false_positives": jnp.sum((wrong & is_neg).astype(jnp.int32)),
-        "true_negatives": jnp.sum((correct & is_neg).astype(jnp.int32)),
-        "false_negatives": jnp.sum((wrong & is_pos).astype(jnp.int32)),
+        "true_positives": jnp.sum((correct & is_pos & valid).astype(jnp.int32)),
+        "false_positives": jnp.sum((wrong & is_neg & valid).astype(jnp.int32)),
+        "true_negatives": jnp.sum((correct & is_neg & valid).astype(jnp.int32)),
+        "false_negatives": jnp.sum((wrong & is_pos & valid).astype(jnp.int32)),
     }
 
 
 def soft_confusion_counts(
-    probs: jnp.ndarray, labels: jnp.ndarray
+    probs: jnp.ndarray, labels: jnp.ndarray, valid_mask: jnp.ndarray | None = None
 ) -> Dict[str, jnp.ndarray]:
     """Probabilistic ("diffable") confusion sums (network/net.py:425-427)."""
     y = labels.astype(jnp.float32)
+    v = (
+        jnp.ones(labels.shape, jnp.float32)
+        if valid_mask is None
+        else valid_mask.astype(jnp.float32)
+    )
     return {
-        "true_positives_diffable": jnp.sum(probs[:, 1] * y),
-        "false_positives_diffable": jnp.sum(probs[:, 1] * (1.0 - y)),
-        "false_negatives_diffable": jnp.sum(probs[:, 0] * y),
+        "true_positives_diffable": jnp.sum(probs[:, 1] * y * v),
+        "false_positives_diffable": jnp.sum(probs[:, 1] * (1.0 - y) * v),
+        "false_negatives_diffable": jnp.sum(probs[:, 0] * y * v),
     }
 
 

@@ -1,0 +1,454 @@
+"""Single-net training loop.
+
+Functional re-design of ``NetTrainable.train`` (network/net_trainable.py:159-309)
+with all its robustness guards (SURVEY.md §5 failure detection):
+
+  * NaN-loss abort (net_trainable.py:223-226);
+  * constant-prediction detection on validation evals, raising
+    :class:`ConstantPredictionException` after ``n_max_constant_evals``
+    repeats (net_trainable.py:256-276);
+  * best-snapshot tracking on the main validation criteria with rollback
+    after ``restore_after`` stagnant iterations (net_trainable.py:287-295,
+    311-336);
+  * training timeout (net_trainable.py:300-306);
+  * periodic validation/training evaluation at the reference's interrupt
+    cadence (net_trainable.py:168-177, 247-282);
+  * final evaluation restores the best snapshot and scores all splits
+    (net_trainable.py:360-401).
+
+All device work happens through the fused steps of :mod:`.train_step`; the
+loop itself is pure host orchestration.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config as cf
+from ..data.dataset import Dataset, DatasetSplit
+from ..labels import IID_BACKGROUND, IID_FOREGROUND, n_labels
+from ..models import cnn
+from ..ops import augment as augment_ops
+from ..utils import log
+from . import checkpoint, metrics, optimizer as opt_mod, train_step
+
+
+class ConstantPredictionException(Exception):
+    """Raised when the net keeps predicting a single class
+    (net_trainable.py:438-441)."""
+
+
+class SingleNetTrainer:
+    """Trains one cascade-stage CNN on a Dataset."""
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        f_beta: Optional[float] = None,
+        bottleneck_in_size: Optional[int] = None,
+        nr: int = 1,
+        nr_max: int = 1,
+        seed: Optional[int] = None,
+        snapshot_full_path: str = "",
+    ):
+        self.ds = dataset
+        self.nr = nr
+        self.nr_max = nr_max
+        self.f_beta = f_beta
+
+        # the reference disables F-beta when positives dominate
+        # (net_trainable.py:66-69)
+        if self.f_beta is not None and dataset.train.positive_proportion > 0.5:
+            log.log(
+                "Warning: Disabling the usage of F-Beta, because there are more "
+                "positive samples than negative ones. Weighted cross entropy "
+                "will be used instead."
+            )
+            self.f_beta = None
+
+        self._f_beta_key = (
+            metrics.f_beta_key(self.f_beta) if self.f_beta is not None else None
+        )
+        self.main_criteria = (
+            self._f_beta_key if self.f_beta is not None else cf.get("tuning_main_criteria")
+        )
+
+        img_size = dataset.image_shape[0]
+        self.stage_config = cnn.StageConfig.from_config(
+            img_size, bottleneck_in_size=bottleneck_in_size
+        )
+
+        self.iterations_per_epoch = math.ceil(
+            dataset.train.n_samples / cf.get("batch_size")
+        )
+        self.iterations_total = int(cf.get("epochs_total") * self.iterations_per_epoch)
+
+        seed = cf.get("seed") if seed is None else seed
+        self._rng_key = jax.random.PRNGKey(seed + nr)
+
+        optimizer = opt_mod.optimizer_from_config(self.iterations_total)
+        self._optimizer = optimizer
+
+        if snapshot_full_path:
+            params, cfg_loaded, _, _, _ = checkpoint.load_stage(snapshot_full_path)
+            self.state = train_step.TrainState(
+                params=jax.tree_util.tree_map(jnp.asarray, params),
+                opt_state=optimizer.init(params),
+                step=jnp.zeros((), jnp.int32),
+            )
+        else:
+            self._rng_key, init_key = jax.random.split(self._rng_key)
+            self.state = train_step.init_train_state(
+                init_key, self.stage_config, optimizer
+            )
+
+        loss_settings = train_step.LossSettings(
+            f_beta=self.f_beta,
+            positive_proportion=float(dataset.train.positive_proportion),
+            weighted=cf.get("weighted_cross_entropy"),
+            normalize=cf.get("weighted_cross_entropy_normalize"),
+            l2_strength=float(cf.get("L2_regularization_strength")),
+            l1_strength=float(cf.get("L1_regularization_strength")),
+            dropout_keep=float(cf.get("dropout_rate")),
+        )
+        acfg = (
+            augment_ops.AugmentConfig.from_config()
+            if cf.get("data_augmentation_online")
+            else None
+        )
+        self._train_step = train_step.make_train_step(
+            self.stage_config, optimizer, loss_settings, acfg
+        )
+        self._eval_step = train_step.make_eval_step(self.stage_config, self.f_beta)
+        self._predict_step = train_step.make_predict_step(self.stage_config)
+
+        pp = dataset.preprocessor
+        size = self.stage_config.input_size
+        mean = np.broadcast_to(
+            np.asarray(pp.mean_image, np.float32), (size, size, 3)
+        ).copy()
+        std = np.broadcast_to(np.asarray(pp.std, np.float32), (size, size, 3)).copy()
+        self._mean = jnp.asarray(mean)
+        self._std = jnp.asarray(std)
+
+        # best-snapshot tracking
+        self.best_val_results: Optional[Dict[str, float]] = None
+        self.best_params = None
+        self.iterations_since_best_found = 0
+        self._last_loss = None
+
+    # ---------------- helpers ----------------
+
+    def _dummy_bottlenecks(self, n: int):
+        size = self.stage_config.bottleneck_in_size
+        return jnp.zeros((n, size or 1), jnp.float32)
+
+    def _batch_bottlenecks(self, batch):
+        if self.stage_config.bottleneck_in_size is None:
+            return self._dummy_bottlenecks(batch.n_samples)
+        if batch.bottlenecks is None:
+            raise ValueError(
+                "stage {} requires bottlenecks from the previous net".format(self.nr)
+            )
+        return jnp.asarray(batch.bottlenecks)
+
+    def evaluate_split(
+        self, split: DatasetSplit, log_line: Optional[str] = None
+    ) -> Dict[str, float]:
+        """Full-split metric evaluation in batches (net.py:282-332,445-483)."""
+        it = split.new_default_iterator(cf.get("max_batch_size"))
+        totals: Dict[str, float] = {}
+        n_batches = 0
+        while it.in_first_epoch:
+            batch = it.next_batch
+            counts = self._eval_step(
+                self.state.params,
+                jnp.asarray(batch.images),
+                jnp.asarray(batch.labels),
+                self._batch_bottlenecks(batch),
+                self._mean,
+                self._std,
+                jnp.ones((batch.n_samples,), bool),
+            )
+            for k, v in counts.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            n_batches += 1
+        results = metrics.process_results(totals, self.f_beta)
+        if log_line is not None:
+            metrics.log_results(results, log_line)
+        return results
+
+    def predict(
+        self,
+        split: DatasetSplit,
+        update_bottlenecks: bool = False,
+        return_probabilities: bool = False,
+    ):
+        """Deterministic-order prediction over a split (net.py:572-652)."""
+        if update_bottlenecks and self.nr == self.nr_max:
+            log.log(
+                "Not caching the new bottlenecks, because the last net of a "
+                "cascade has been reached."
+            )
+            update_bottlenecks = False
+
+        n = split.n_samples
+        label_predictions = np.empty((n,), np.int64)
+        probabilities = (
+            np.empty((n, n_labels()), np.float32) if return_probabilities else None
+        )
+        new_bottlenecks = (
+            np.empty((n, self.stage_config.bottleneck_out_size), np.float32)
+            if update_bottlenecks
+            else None
+        )
+
+        from ..data.dataset import DeterministicIterator
+
+        it = DeterministicIterator(
+            split, cf.get("max_batch_size"), shuffle_every_epoch=False
+        )
+        start = 0
+        while it.in_first_epoch:
+            batch = it.next_batch
+            end = start + batch.n_samples
+            best, probs, bneck = self._predict_step(
+                self.state.params,
+                jnp.asarray(batch.images),
+                jnp.asarray(batch.labels),
+                self._batch_bottlenecks(batch),
+                self._mean,
+                self._std,
+            )
+            label_predictions[start:end] = np.asarray(best)
+            if return_probabilities:
+                probabilities[start:end] = np.asarray(probs)
+            if update_bottlenecks:
+                new_bottlenecks[start:end] = np.asarray(bneck)
+            start = end
+
+        if update_bottlenecks:
+            split.set_bottlenecks(new_bottlenecks)
+        return label_predictions, probabilities
+
+    @property
+    def bottleneck_out_size(self) -> int:
+        return self.stage_config.bottleneck_out_size
+
+    # ---------------- training loop ----------------
+
+    def train(self) -> None:
+        start_time = time.time()
+
+        interrupt_often = 100
+        interrupt_sometimes = max(
+            1,
+            min(
+                10000,
+                math.floor(cf.get("epochs_total") * self.iterations_per_epoch / 4),
+            ),
+        )
+        interrupt_seldom = interrupt_sometimes * 3
+        max_eval_step = self.iterations_total * 0.85  # skip evals in last 15%
+
+        n_const_predict = np.zeros((n_labels(),), np.uint8)
+        cancel = False
+
+        it = self.ds.train.new_default_iterator(cf.get("batch_size"))
+        while it.epoch < cf.get("epochs_total"):
+            if cancel:
+                break
+            log.log("Epoch {}/{}".format(it.epoch + 1, cf.get("epochs_total")))
+            curr_epoch = it.epoch
+            while it.epoch == curr_epoch:
+                batch = it.next_batch
+                self._rng_key, step_key = jax.random.split(self._rng_key)
+                self.state, loss = self._train_step(
+                    self.state,
+                    jnp.asarray(batch.images),
+                    jnp.asarray(batch.labels),
+                    self._batch_bottlenecks(batch),
+                    self._mean,
+                    self._std,
+                    step_key,
+                )
+                step = it.n_provided_batches
+
+                if step % interrupt_often == 1 or step == self.iterations_total:
+                    loss_value = float(loss)
+                    self._last_loss = loss_value
+                    if math.isnan(loss_value):
+                        log.log("ERROR: loss value is nan. Cancelling training.")
+                        cancel = True
+                        break
+                    log.log(
+                        "Iteration {}/{}: loss = {:.4f}".format(
+                            step, self.iterations_total, loss_value
+                        )
+                    )
+
+                if (
+                    step % interrupt_sometimes == 0
+                    and step < max_eval_step
+                    and step != self.iterations_total
+                ):
+                    res_val = self.evaluate_split(self.ds.valid, " -> validation:")
+                    self._check_constant_prediction(res_val, n_const_predict)
+                    if step % interrupt_seldom == 0:
+                        self.evaluate_split(self.ds.train, " -> training:")
+                    self._update_best_val_results(res_val)
+
+                if (
+                    cf.get("restore_after") is not None
+                    and self.iterations_since_best_found > cf.get("restore_after")
+                    and step != self.iterations_total
+                    and self.best_params is not None
+                ):
+                    self.iterations_since_best_found = 0
+                    log.log(
+                        "Step back: restoring best parameters (no progress for "
+                        "more than {} iterations).".format(cf.get("restore_after"))
+                    )
+                    self.state = train_step.TrainState(
+                        params=self.best_params,
+                        opt_state=self.state.opt_state,
+                        step=self.state.step,
+                    )
+
+                self.iterations_since_best_found += 1
+
+                if cf.get("timeout_minutes") > 0 and (
+                    time.time() - start_time > cf.get("timeout_seconds")
+                ):
+                    log.log("TIMEOUT: stopping earlier. saving current work.")
+                    cancel = True
+                    break
+
+        self.stop_training()
+
+    def _check_constant_prediction(self, res_val, n_const_predict) -> None:
+        if (res_val["true_positives"] + res_val["false_positives"]) == 0:
+            n_const_predict[IID_BACKGROUND] += 1
+            log.log(
+                "WARNING: validation evaluation suggests constant background "
+                "prediction ({} times)".format(n_const_predict[IID_BACKGROUND])
+            )
+            limit = cf.get("n_max_constant_evals")
+            if limit is not None and n_const_predict[IID_BACKGROUND] > limit:
+                raise ConstantPredictionException(
+                    "validation evaluation suggests constant background "
+                    "prediction too often. Cancelling training."
+                )
+        elif (res_val["true_negatives"] + res_val["false_negatives"]) == 0:
+            n_const_predict[IID_FOREGROUND] += 1
+            log.log(
+                "WARNING: validation evaluation suggests constant foreground "
+                "prediction ({} times)".format(n_const_predict[IID_FOREGROUND])
+            )
+            limit = cf.get("n_max_constant_evals")
+            if limit is not None and n_const_predict[IID_FOREGROUND] > limit:
+                raise ConstantPredictionException(
+                    "validation evaluation suggests constant foreground "
+                    "prediction too often. Cancelling training."
+                )
+
+    def _update_best_val_results(self, res_val) -> None:
+        if (
+            self.best_val_results is None
+            or res_val[self.main_criteria] > self.best_val_results[self.main_criteria]
+        ):
+            self.best_params = jax.tree_util.tree_map(
+                lambda x: x, self.state.params
+            )  # cheap reference copy; params are immutable jax arrays
+            self.best_val_results = res_val
+            self.iterations_since_best_found = 0
+            log.log(
+                "Updated best model with validation {} of {}".format(
+                    self.main_criteria,
+                    metrics.get(self.main_criteria).format(res_val[self.main_criteria]),
+                )
+            )
+            self._save_snapshot(res_val)
+
+    def _save_snapshot(self, res_val) -> None:
+        snap_dir = os.path.join(
+            cf.get("snapshot_dir"), cf.get("session_key")
+        )
+        cf.ensure_dir(snap_dir)
+        path = os.path.join(
+            snap_dir,
+            "val_{}_{:.3f}_net{}".format(
+                self.main_criteria, res_val[self.main_criteria], self.nr
+            ),
+        )
+        pp = self.ds.preprocessor
+        checkpoint.save_stage(
+            path,
+            self.state.params,
+            self.stage_config,
+            np.asarray(self._mean),
+            np.asarray(self._std),
+            extra_meta={"val_results": {k: float(v) for k, v in res_val.items()}},
+        )
+
+    def stop_training(self) -> None:
+        """Final best-vs-current check (net_trainable.py:338-357)."""
+        if self.iterations_since_best_found > 1:
+            log.log("Ensure that the last known best snapshot is still better.")
+            res_val = self.evaluate_split(self.ds.valid)
+            self._update_best_val_results(res_val)
+        log.log(".. training finished.")
+
+    def restore_best(self) -> None:
+        if self.best_params is not None and self.iterations_since_best_found > 1:
+            self.state = train_step.TrainState(
+                params=self.best_params,
+                opt_state=self.state.opt_state,
+                step=self.state.step,
+            )
+            log.log("Restored best parameters of this run.")
+
+    def final_evaluation(self):
+        """Restore best model and evaluate all splits
+        (net_trainable.py:360-401)."""
+        log.log("starting final evaluation")
+        self.restore_best()
+        if self.best_val_results is not None:
+            val_eval = self.best_val_results
+            metrics.log_results(val_eval, "FINAL validation set evaluation:")
+        else:
+            val_eval = self.evaluate_split(
+                self.ds.valid, "FINAL validation set evaluation:"
+            )
+        train_eval = self.evaluate_split(
+            self.ds.train, "FINAL training set evaluation:"
+        )
+        test_eval = self.evaluate_split(self.ds.test, "FINAL test set evaluation:")
+        log.log("final evaluation is done.")
+        return val_eval, test_eval, train_eval
+
+    # -------- deployment artifacts --------
+
+    def mean_std(self):
+        return np.asarray(self._mean), np.asarray(self._std)
+
+    def export(self, model_dir: str, session_key: str, stage: Optional[int] = None):
+        """Persist the trained stage as a deployment artifact (the analog of
+        the reference's freeze+optimize+export pipeline,
+        app/train_app.py:177-227)."""
+        cf.ensure_dir(model_dir)
+        if stage is None:
+            path = checkpoint.single_model_path(model_dir, session_key)
+        else:
+            path = checkpoint.cascade_stage_path(model_dir, session_key, stage)
+        mean, std = self.mean_std()
+        return checkpoint.save_stage(
+            path, self.state.params, self.stage_config, mean, std
+        )
