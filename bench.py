@@ -1,0 +1,89 @@
+"""Headline benchmark: VGA frames/sec/chip, full-pyramid cascade detection.
+
+Measures the end-to-end detection path on real hardware: pyramid window
+extraction + 3-stage cascade with mask compaction + crop/resize re-gather
+(one fused XLA program) + host-side groupRectangles NMS. This is the
+BASELINE.json north-star metric (>= 50 VGA frames/sec/chip on TPU v5e, full
+pyramid, reference default config: 12/24/48 cascade, window_scale_factor
+1.1, min_window_length 0.075 — /root/reference/config.py:84,92,249,316-322).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    # persistent executable cache: compiles (expensive through a remote-
+    # compile tunnel) are paid once per program shape, not once per run
+    import os
+
+    cache_dir = os.environ.get("RODC_JIT_CACHE", "/tmp/rodc_jit_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+    from rapidobjectdetectionusingcascadedcnns_tpu.data import synthetic
+    from rapidobjectdetectionusingcascadedcnns_tpu.models import cascade as casc
+
+    # reference default architecture & pyramid density
+    cf.set("conv_filter_sizes", [32])
+    cf.set("fc1_size", 512)
+    cf.set("cascade_n_nets", 3)
+    cf.set("img_width", 48)
+    cf.set("window_scale_factor", 1.1)
+    cf.set("min_window_length", 0.075)
+    cf.set("foreground_confidence_threshold", 0.5)
+
+    model = casc.build_cascade_model(seed=0)
+    detector = casc.CascadeDetector(model)
+
+    n_scenes = 8
+    scenes = [
+        synthetic.make_scene(480, 640, n_faces=3, seed=s, min_face=48, max_face=120).image
+        for s in range(n_scenes)
+    ]
+
+    # warmup: compile the batched program + first NMS
+    batch = int(cf.get("inference_batch_frames"))
+    frames = [scenes[i % n_scenes] for i in range(batch)]
+    res = detector.detect_batch(frames)[0]
+    sys.stderr.write(
+        "warmup: {} windows, survivors per stage {}\n".format(
+            res.n_windows, res.n_survivors_per_stage
+        )
+    )
+
+    # one pipelined stream: chunks are dispatched ahead of result fetches so
+    # frame uploads overlap device compute (production video-serving shape)
+    n_frames = batch * 12
+    stream = [scenes[i % n_scenes] for i in range(n_frames)]
+    start = time.perf_counter()
+    detector.detect_batch(stream)
+    elapsed = time.perf_counter() - start
+    fps = n_frames / elapsed
+
+    baseline_target = 50.0  # BASELINE.json north-star (VGA fps/chip on v5e)
+    print(
+        json.dumps(
+            {
+                "metric": "vga_full_pyramid_cascade_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / baseline_target, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,9 @@ def _build_defaults() -> Dict[str, Any]:
     # compaction on device). `None` => automatic heuristic from stage index.
     cf["cascade_capacity_schedule"] = None
     cf["inference_chunk_size"] = 16384  # windows per jitted stage-0 chunk
+    cf["inference_batch_frames"] = 16  # same-size frames fused per device call
+    cf["inference_high_precision"] = False  # f32-exact window resampling
+    cf["inference_pipeline_depth"] = 2  # frame chunks in flight per device
     cf["compute_dtype"] = "bfloat16"  # matmul/conv dtype on TPU
 
     # ----- training (reference config.py:124-237) -----

@@ -101,17 +101,7 @@ def resolve_thresholds(n_stages: int) -> List[float]:
     return [float(t) for t in thr]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "plan",
-        "stage_configs",
-        "capacities",
-        "confidence_mode",
-        "thresholds",
-    ),
-)
-def _cascade_infer_device(
+def _cascade_core(
     image: jnp.ndarray,
     coords_norm: jnp.ndarray,  # (N0, 4) int32 window coords on original image
     stage_params: Tuple[cnn.Params, ...],
@@ -121,8 +111,9 @@ def _cascade_infer_device(
     capacities: Tuple[int, ...],
     confidence_mode: str,
     thresholds: Tuple[float, ...],
+    high_precision: bool = False,
 ):
-    """Full-cascade single-image inference as one XLA program.
+    """Full-cascade single-image inference (traceable core).
 
     Returns (window_ids (C_last,), confidences (C_last,), alive (C_last,),
     survivors_per_stage (n_stages,)).
@@ -162,7 +153,9 @@ def _cascade_infer_device(
         # ---- re-gather surviving windows at the next resolution ----
         size = stage_configs[i].input_size
         boxes = coords_norm[window_ids].astype(jnp.float32)
-        wins = crop_and_resize(image_f, boxes, out_h=size, out_w=size)
+        wins = crop_and_resize(
+            image_f, boxes, out_h=size, out_w=size, high_precision=high_precision
+        )
         mean_i, std_i = stage_stats[i]
         x = (wins - mean_i) / std_i
 
@@ -191,6 +184,76 @@ def _cascade_infer_device(
         conf = jnp.maximum(conf, cf.MIN_SCORE_FOR_FINAL_CONFIDENCE_CALCULATION_MULT)
 
     return window_ids, conf, alive, jnp.stack(survivors)
+
+
+def _pack_result(window_ids, conf, alive, survivors):
+    """Pack ALL per-image outputs into ONE flat float32 vector so host
+    readback is a single transfer (remote/tunneled runtimes pay a round-trip
+    per buffer). Layout: [ids (C), conf (C), alive (C), survivors (S)]."""
+    return jnp.concatenate(
+        [
+            window_ids.astype(jnp.float32),
+            conf.astype(jnp.float32),
+            alive.astype(jnp.float32),
+            survivors.astype(jnp.float32),
+        ]
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "plan",
+        "stage_configs",
+        "capacities",
+        "confidence_mode",
+        "thresholds",
+        "high_precision",
+    ),
+)
+def _cascade_infer_device(image, coords_norm, stage_params, stage_stats, plan,
+                          stage_configs, capacities, confidence_mode, thresholds,
+                          high_precision=False):
+    """Single-image jitted cascade program (kept for the graft entry point)."""
+    return _cascade_core(
+        image, coords_norm, stage_params, stage_stats, plan, stage_configs,
+        capacities, confidence_mode, thresholds, high_precision,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "plan",
+        "stage_configs",
+        "capacities",
+        "confidence_mode",
+        "thresholds",
+        "high_precision",
+    ),
+)
+def _cascade_infer_device_batch(images, coords_norm, stage_params, stage_stats,
+                                plan, stage_configs, capacities, confidence_mode,
+                                thresholds, high_precision=False):
+    """Batched cascade program: (B, H, W, C) images -> one packed float32
+    (B, 3*C_last + n_stages) result array in ONE device round-trip.
+
+    Batching frames through a single program amortizes dispatch/transfer
+    latency (essential when the chip sits behind a network tunnel) and gives
+    XLA bigger, better-tiled convolutions; it is also the serving-shape for
+    production video pipelines. The window axis inside the program can
+    additionally be sharded over a mesh (parallel/mesh.py) for huge pyramids.
+    Returns a (B, 3*C_last + n_stages) packed result (see _pack_result).
+    """
+
+    def one(image):
+        out = _cascade_core(
+            image, coords_norm, stage_params, stage_stats, plan, stage_configs,
+            capacities, confidence_mode, thresholds, high_precision,
+        )
+        return _pack_result(*out)
+
+    return jax.vmap(one)(images)  # (B, 3*C_last + n_stages)
 
 
 class CascadeDetector:
@@ -234,55 +297,91 @@ class CascadeDetector:
 
     def detect(self, image: np.ndarray) -> DetectionResult:
         """Run the full pyramid cascade on one (H, W, 3) uint8 image."""
-        img_h, img_w = image.shape[0], image.shape[1]
-        plan, table, coords_norm = self._plan_and_table(img_h, img_w)
-        if plan.n_windows < 1:
-            raise ValueError("Could not extract any windows from the given image")
-
-        n_stages = self.model.n_nets
-        capacities = tuple(
-            self._capacity_override
-            or default_capacity_schedule(plan.n_windows, n_stages)
-        )
-        thresholds = tuple(resolve_thresholds(n_stages))
-        mode = cf.get("final_confidence_calculation")
-
-        window_ids, conf, alive, survivors = _cascade_infer_device(
-            jnp.asarray(image),
-            coords_norm,
-            self._params_device,
-            self._stats_device,
-            plan,
-            tuple(self.model.stage_configs),
-            capacities,
-            mode,
-            thresholds,
-        )
-
-        window_ids = np.asarray(window_ids)
-        conf = np.asarray(conf)
-        alive = np.asarray(alive)
-        survivors = [int(s) for s in np.asarray(survivors)]
-
-        keep_ids = window_ids[alive]
-        raw_boxes = table["coords_norm"][keep_ids]
-        raw_conf = conf[alive]
-
-        boxes, confidences = self._postprocess(raw_boxes, raw_conf, img_h)
-        return DetectionResult(
-            boxes=boxes,
-            confidences=confidences,
-            raw_boxes=raw_boxes,
-            raw_confidences=raw_conf,
-            n_windows=plan.n_windows,
-            n_survivors_per_stage=survivors,
-        )
+        return self.detect_batch([image])[0]
 
     def detect_batch(self, images: Sequence[np.ndarray]) -> List[DetectionResult]:
         """Detect over a list of images (the reference's merge mode,
         app/abstract_inference_app.py:38-106, without its host-side window
-        merging — each image is one fused device program here)."""
-        return [self.detect(img) for img in images]
+        merging: same-size frames are stacked through ONE batched device
+        program per chunk; mixed sizes fall back to per-size grouping)."""
+        max_frames = int(cf.get("inference_batch_frames"))
+        results: List[Optional[DetectionResult]] = [None] * len(images)
+
+        # group by image size so each group shares one pyramid plan
+        by_size: Dict[Tuple[int, int], List[int]] = {}
+        for i, img in enumerate(images):
+            by_size.setdefault((img.shape[0], img.shape[1]), []).append(i)
+
+        for (img_h, img_w), idxs in by_size.items():
+            plan, table, coords_norm = self._plan_and_table(img_h, img_w)
+            if plan.n_windows < 1:
+                raise ValueError("Could not extract any windows from the given image")
+            n_stages = self.model.n_nets
+            capacities = tuple(
+                self._capacity_override
+                or default_capacity_schedule(plan.n_windows, n_stages)
+            )
+            thresholds = tuple(resolve_thresholds(n_stages))
+            mode = cf.get("final_confidence_calculation")
+
+            n_stages_ = self.model.n_nets
+            cap_last = capacities[-1] if capacities else plan.n_windows
+
+            # bounded software pipeline: keep `depth` chunks in flight so the
+            # next chunk's upload/compute overlaps the current fetch, without
+            # flooding HBM with queued executions
+            depth = max(1, int(cf.get("inference_pipeline_depth")))
+            pending = []
+            done = []
+
+            def dispatch(chunk):
+                stack = np.stack([images[i] for i in chunk])
+                packed = _cascade_infer_device_batch(
+                    jnp.asarray(stack),
+                    coords_norm,
+                    self._params_device,
+                    self._stats_device,
+                    plan,
+                    tuple(self.model.stage_configs),
+                    capacities,
+                    mode,
+                    thresholds,
+                    bool(cf.get("inference_high_precision")),
+                )
+                pending.append((chunk, packed))
+
+            chunks = [
+                idxs[s : s + max_frames] for s in range(0, len(idxs), max_frames)
+            ]
+            for chunk in chunks:
+                dispatch(chunk)
+                if len(pending) > depth:
+                    c, r = pending.pop(0)
+                    done.append((c, np.asarray(r)))
+            while pending:
+                c, r = pending.pop(0)
+                done.append((c, np.asarray(r)))
+
+            for chunk, packed in done:
+                for j, i in enumerate(chunk):
+                    row = packed[j]
+                    window_ids = row[:cap_last].astype(np.int64)
+                    conf = row[cap_last : 2 * cap_last]
+                    alive = row[2 * cap_last : 3 * cap_last] > 0.5
+                    survivors = row[3 * cap_last : 3 * cap_last + n_stages_]
+                    keep_ids = window_ids[alive]
+                    raw_boxes = table["coords_norm"][keep_ids]
+                    raw_conf = conf[alive]
+                    boxes, confidences = self._postprocess(raw_boxes, raw_conf, img_h)
+                    results[i] = DetectionResult(
+                        boxes=boxes,
+                        confidences=confidences,
+                        raw_boxes=raw_boxes,
+                        raw_confidences=raw_conf,
+                        n_windows=plan.n_windows,
+                        n_survivors_per_stage=[int(s) for s in survivors],
+                    )
+        return results  # type: ignore[return-value]
 
     def _postprocess(self, boxes: np.ndarray, conf: np.ndarray, img_h: int):
         """NMS + optional vertical enlargement

@@ -68,7 +68,14 @@ def test_crop_and_resize_matches_cv2(rng):
     img = rng.randint(0, 256, size=(80, 90, 3)).astype(np.uint8)
     cases = [(4, 6, 16, 18), (0, 0, 45, 40), (30, 20, 90, 80)]
     boxes = np.array(cases, dtype=np.float32)
+    # strict-parity mode: exact float32 interpolation taps
     out = np.asarray(
+        windows.crop_and_resize(
+            img, boxes, out_h=24, out_w=24, quantize=False, high_precision=True
+        )
+    )
+    # fast mode (bf16 taps): within ~1 gray level of the exact result
+    out_fast = np.asarray(
         windows.crop_and_resize(img, boxes, out_h=24, out_w=24, quantize=False)
     )
     for k, (x0, y0, x1, y1) in enumerate(cases):
@@ -77,6 +84,7 @@ def test_crop_and_resize_matches_cv2(rng):
             patch.astype(np.float32), (24, 24), interpolation=cv2.INTER_LINEAR
         )
         np.testing.assert_allclose(out[k], expected, rtol=1e-4, atol=0.51)
+        np.testing.assert_allclose(out_fast[k], expected, atol=1.6)
 
 
 def test_crop_and_resize_batch_shapes(rng):
