@@ -1,0 +1,104 @@
+"""Runtime benchmark: cascade vs single net on the same image set.
+
+Re-design of ``EvaluateRuntimeApp`` (app/evaluate_runtime_app.py:50-97). The
+reference compared GPU vs CPU; device selection in JAX is a process-level
+property, so this app benchmarks both detector families on the current
+backend and reports per-image averages. Images default to a synthetic
+sampled set (80 positive scenes / 20 background scenes), or a pos/neg sample
+of the configured disk corpus.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .. import config as cf
+from ..utils import log
+from .base import BaseApp
+from .inference_apps import InferenceApp, InferenceCascadeApp
+
+
+class EvaluateRuntimeApp(BaseApp):
+    def __init__(
+        self,
+        cascade_session_key: Optional[str] = None,
+        single_session_key: Optional[str] = None,
+        n_positive: int = 80,
+        n_negative: int = 20,
+        images: Optional[Sequence[np.ndarray]] = None,
+        cascade_model=None,
+        single_detector=None,
+        run_now: bool = True,
+    ):
+        self.cascade_session_key = cascade_session_key
+        self.single_session_key = single_session_key
+        self.n_positive = n_positive
+        self.n_negative = n_negative
+        self._images = images
+        self._cascade_model = cascade_model
+        self._single_detector = single_detector
+        self.results: Dict[str, Dict[str, float]] = {}
+        BaseApp.__init__(self, run_now)
+
+    def _collect_images(self) -> List[np.ndarray]:
+        if self._images is not None:
+            return list(self._images)
+        if cf.get("dataset_keys") == ["synthetic"]:
+            from ..data.synthetic import make_scene
+
+            scenes = []
+            for s in range(self.n_positive):
+                scenes.append(make_scene(480, 640, 2, seed=s).image)
+            for s in range(self.n_negative):
+                scenes.append(make_scene(480, 640, 0, seed=1000 + s).image)
+            return scenes
+        from ..data.file_list import FileListLoader
+
+        infos = FileListLoader().sample_image_infos(self.n_positive, self.n_negative)
+        return [i.raw_original() for i in infos]
+
+    def _bench(self, name: str, app) -> None:
+        images = self._images_cache
+        app.run_inference_on_images(images[:1])  # warmup/compile
+        start = time.perf_counter()
+        app.run_inference_on_images(images, merge=cf.get("inference_merge"))
+        elapsed = time.perf_counter() - start
+        self.results[name] = {
+            "total_seconds": elapsed,
+            "avg_seconds_per_image": elapsed / len(images),
+            "fps": len(images) / elapsed,
+        }
+        log.log(
+            "{}: {} images in {:.2f}s (avg {:.3f}s, {:.1f} fps)".format(
+                name,
+                len(images),
+                elapsed,
+                elapsed / len(images),
+                len(images) / elapsed,
+            )
+        )
+
+    def _main(self):
+        self._images_cache = self._collect_images()
+        cascade_app = InferenceCascadeApp(
+            self.cascade_session_key, model=self._cascade_model
+        )
+        self._bench("cascade", cascade_app)
+
+        if self._single_detector is not None:
+            single_app = InferenceApp.__new__(InferenceApp)
+            InferenceApp.__init__(single_app, self.single_session_key or "unused")
+            single_app._detector = self._single_detector
+        else:
+            single_app = InferenceApp(self.single_session_key)
+        self._bench("single", single_app)
+
+        speedup = (
+            self.results["single"]["avg_seconds_per_image"]
+            / self.results["cascade"]["avg_seconds_per_image"]
+        )
+        log.log("cascade speedup over single net: {:.2f}x".format(speedup))
+        self.results["speedup_cascade_vs_single"] = {"value": speedup}

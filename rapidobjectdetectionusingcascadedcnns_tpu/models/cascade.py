@@ -79,13 +79,17 @@ def default_capacity_schedule(n_windows: int, n_stages: int) -> List[int]:
     """Fixed survivor capacities after each non-final stage.
 
     Early stages of a working cascade reject the vast majority of windows
-    (that is their entire purpose), so 1/4 and 1/16 of the pyramid are
-    generous ceilings; floors keep tiny pyramids functional and multiples of
-    128 keep buffers lane-aligned for the TPU.
+    (that is their entire purpose); 1/2 then /4 per stage are generous
+    ceilings that keep behavior equal to the reference's unbounded survivor
+    sets for any usefully-trained stage-0 net, while bounding the cost of a
+    degenerate one. When survivors do exceed the ceiling, the
+    highest-confidence windows are kept (compaction sorts by (alive, prob)).
+    Floors keep tiny pyramids functional; multiples of 128 keep buffers
+    lane-aligned for the TPU.
     """
     caps = []
     for i in range(1, n_stages):
-        frac = n_windows // (4**i)
+        frac = n_windows // (2 * 4 ** (i - 1))
         caps.append(min(n_windows, _round_up(max(256, frac), 128)))
     return caps
 

@@ -195,6 +195,20 @@ def group_rectangles_jax(rects_xywh, valid_mask, min_neighbors: int, eps: float 
     return avg, counts.astype(jnp.int32), keep
 
 
+def group_rectangles_fast(
+    rects_xywh: np.ndarray, min_neighbors: int, eps: float = 0.2
+) -> Tuple[np.ndarray, np.ndarray]:
+    """groupRectangles via the native C++ kernel when available (the union-
+    find clustering is O(N^2) host work on the frame-latency path), falling
+    back to the vectorized numpy implementation."""
+    from .. import native
+
+    result = native.group_rectangles(rects_xywh, min_neighbors, eps)
+    if result is not None:
+        return result
+    return group_rectangles(rects_xywh, min_neighbors, eps)
+
+
 def nms_boxes(
     boxes_xyxy: np.ndarray,
     min_neighbors: int,
@@ -217,7 +231,7 @@ def nms_boxes(
         ],
         axis=1,
     )
-    kept, weights = group_rectangles(xywh, min_neighbors, eps)
+    kept, weights = group_rectangles_fast(xywh, min_neighbors, eps)
     if len(kept) == 0:
         return np.zeros((0, 4), np.int64), weights
     out = np.stack(

@@ -1,0 +1,83 @@
+"""Hyper-parameter tuner semantics."""
+
+import pytest
+
+from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+from rapidobjectdetectionusingcascadedcnns_tpu.train import tuner as tuner_mod
+
+
+class TestGrids:
+    def test_grids_cover_reference_params(self):
+        grids = tuner_mod.value_grids()
+        for key in (
+            "learning_rate_init",
+            "batch_size",
+            "momentum",
+            "conv_filter_sizes",
+            "max_beta",
+            "dao_crop_probability",
+        ):
+            assert key in grids and len(grids[key]) > 1
+
+    def test_unknown_params_filtered(self):
+        t = tuner_mod.HyperTunerRandom(["learning_rate_init", "nonexistent_param"])
+        assert t.param_keys == ["learning_rate_init"]
+
+
+class TestConsistencyOverrides:
+    def test_momentum_forces_optimizer(self):
+        cf.set("optimizer", cf.OPTIMIZER_ADAM)
+        tuner_mod.HyperTuner.override_configuration_entry("momentum", 0.5)
+        assert cf.get("optimizer") == cf.OPTIMIZER_MOMENTUM
+        assert cf.get("momentum") == 0.5
+
+    def test_dao_enables_augmentation(self):
+        cf.set("data_augmentation_online", False)
+        tuner_mod.HyperTuner.override_configuration_entry("dao_horizontal_flip", True)
+        assert cf.get("data_augmentation_online") is True
+
+
+class TestRandomTuner:
+    def test_samples_and_tracks_best(self):
+        cf.set("tuning_main_criteria", "f1_score")
+        t = tuner_mod.HyperTunerRandom(["learning_rate_init", "dropout_rate"], seed=0)
+        scores = [0.4, 0.9, 0.6]
+        for score in scores:
+            t.tune()
+            assert not t.finished
+            for key in ("learning_rate_init", "dropout_rate"):
+                assert cf.get(key) in t.grids[key]
+            t.receive_results({"f1_score": score})
+        assert t.best["score"] == 0.9
+        t.log_best_values()
+
+
+class TestSuccessiveTuner:
+    def test_sweeps_sequentially_and_keeps_best(self):
+        cf.set("tuning_main_criteria", "accuracy")
+        t = tuner_mod.HyperTunerSuccessive(["dropout_rate"])
+        grid = t.grids["dropout_rate"]
+        # feed scores so the 2nd value wins and clears the 0.53 guard
+        scores = [0.55, 0.80, 0.60, 0.58]
+        for i, score in enumerate(scores):
+            t.tune()
+            assert cf.get("dropout_rate") == grid[i]
+            t.receive_results({"accuracy": score})
+        t.tune()  # past the end -> finish param, keep best
+        assert t.best_values["dropout_rate"] == grid[1]
+        assert cf.get("dropout_rate") == grid[1]
+
+    def test_guard_discards_weak_results(self):
+        cf.set("tuning_main_criteria", "accuracy")
+        t = tuner_mod.HyperTunerSuccessive(["pooling_size"])
+        for _ in t.grids["pooling_size"]:
+            t.tune()
+            t.receive_results({"accuracy": 0.40})  # below the 0.53 guard
+        t.tune()
+        assert "pooling_size" not in t.best_values
+
+    def test_required_iterations(self):
+        t = tuner_mod.HyperTunerSuccessive(["pooling_size", "conv_stride"])
+        assert t.required_iterations() == len(t.grids["pooling_size"]) + len(
+            t.grids["conv_stride"]
+        )
