@@ -37,6 +37,9 @@ class EvaluateFDDBApp(BaseApp):
         cf.set("window_scale_factor", 1.005)
         cf.set("inference_merge", False)
         cf.set("vertically_enlarge_bboxes", True)
+        # bound compiled-program count across FDDB's many image sizes
+        if cf.get("inference_resize_buckets") is None:
+            cf.set("inference_resize_buckets", cf.get("fddb_resize_buckets"))
 
         suffix = session_suffix
         if suffix and not suffix.startswith("_"):

@@ -91,6 +91,11 @@ def _build_defaults() -> Dict[str, Any]:
     cf["inference_batch_frames"] = 16  # same-size frames fused per device call
     cf["inference_high_precision"] = False  # f32-exact window resampling
     cf["inference_pipeline_depth"] = 2  # frame chunks in flight per device
+    cf["window_extraction_mode"] = "auto"  # auto | gather | crop
+    cf["inference_resize_buckets"] = None  # [(h, w), ...] or None (exact)
+    # FDDB corpora mix hundreds of image sizes; these buckets bound the
+    # number of compiled cascade programs for the dense-pyramid evaluation
+    cf["fddb_resize_buckets"] = [(450, 450), (350, 450), (450, 350), (300, 400)]
     cf["compute_dtype"] = "bfloat16"  # matmul/conv dtype on TPU
 
     # ----- training (reference config.py:124-237) -----

@@ -37,7 +37,7 @@ from .. import config as cf
 from ..ops import nms as nms_ops
 from ..ops import rectangles as rect_ops
 from ..ops.pyramid import PyramidPlan, build_plan, window_table
-from ..ops.windows import crop_and_resize, extract_windows
+from ..ops.windows import crop_and_resize, extract_windows, extract_windows_crop
 from . import cnn
 
 
@@ -94,6 +94,16 @@ def default_capacity_schedule(n_windows: int, n_stages: int) -> List[int]:
     return caps
 
 
+def resolve_extraction_mode(plan: PyramidPlan) -> str:
+    """'gather' (per-level fused resize+gather) for coarse pyramids, 'crop'
+    (chunked interpolation einsum) for dense ones — the unrolled gather graph
+    scales with level count, the crop program does not."""
+    configured = cf.get("window_extraction_mode")
+    if configured in ("gather", "crop"):
+        return configured
+    return "crop" if plan.n_scales > 48 else "gather"
+
+
 def resolve_thresholds(n_stages: int) -> List[float]:
     """Scalar-or-list foreground_confidence_threshold
     (config.py:64-73, inference_cascade_app.py:165-175)."""
@@ -105,9 +115,69 @@ def resolve_thresholds(n_stages: int) -> List[float]:
     return [float(t) for t in thr]
 
 
+def _apply_stage_on_boxes_chunked(
+    image_f: jnp.ndarray,
+    boxes: jnp.ndarray,  # (N, 4) float32 on the original image
+    bneck_in,  # (N, B) or None
+    params,
+    stage_cfg: cnn.StageConfig,
+    mean: jnp.ndarray,
+    std: jnp.ndarray,
+    chunk: int,
+    high_precision: bool,
+):
+    """Fused crop_and_resize + stage CNN over window chunks.
+
+    Materializing all windows (and the conv intermediates behind them) for a
+    dense pyramid would need GBs of HBM; lax.map over fixed-size chunks keeps
+    the live set to one chunk while XLA pipelines the chunks. Returns
+    (probs (N, 2), bottleneck (N, B_out))."""
+    size = stage_cfg.input_size
+    n = boxes.shape[0]
+    if n <= chunk:
+        wins = crop_and_resize(
+            image_f, boxes, out_h=size, out_w=size, high_precision=high_precision
+        )
+        out = cnn.apply_stage(params, stage_cfg, (wins - mean) / std, bneck_in)
+        return out["probs"], out["bottleneck"]
+
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    boxes_p = jnp.concatenate([boxes, jnp.broadcast_to(boxes[-1:], (pad, 4))])
+    boxes_c = boxes_p.reshape(n_chunks, chunk, 4)
+    if bneck_in is not None:
+        bneck_p = jnp.concatenate(
+            [bneck_in, jnp.broadcast_to(bneck_in[-1:], (pad, bneck_in.shape[1]))]
+        )
+        bneck_c = bneck_p.reshape(n_chunks, chunk, -1)
+    else:
+        bneck_c = jnp.zeros((n_chunks, chunk, 1), jnp.float32)
+
+    def one(args):
+        chunk_boxes, chunk_bneck = args
+        wins = crop_and_resize(
+            image_f,
+            chunk_boxes,
+            out_h=size,
+            out_w=size,
+            high_precision=high_precision,
+        )
+        x = (wins - mean) / std
+        bn = chunk_bneck if bneck_in is not None else None
+        out = cnn.apply_stage(params, stage_cfg, x, bn)
+        return out["probs"], out["bottleneck"]
+
+    probs, bottleneck = jax.lax.map(one, (boxes_c, bneck_c))
+    return (
+        probs.reshape(n_chunks * chunk, -1)[:n],
+        bottleneck.reshape(n_chunks * chunk, -1)[:n],
+    )
+
+
 def _cascade_core(
     image: jnp.ndarray,
     coords_norm: jnp.ndarray,  # (N0, 4) int32 window coords on original image
+    boxes_float: jnp.ndarray,  # (N0, 4) float32 exact window geometry
     stage_params: Tuple[cnn.Params, ...],
     stage_stats: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...],  # (mean, std) pairs
     plan: PyramidPlan,
@@ -116,6 +186,8 @@ def _cascade_core(
     confidence_mode: str,
     thresholds: Tuple[float, ...],
     high_precision: bool = False,
+    extraction_mode: str = "gather",
+    chunk: int = 16384,
 ):
     """Full-cascade single-image inference (traceable core).
 
@@ -126,11 +198,31 @@ def _cascade_core(
     image_f = image.astype(jnp.float32)
 
     # ---- stage 0: dense pyramid windows ----
-    windows = extract_windows(image_f, plan)  # (N0, s0, s0, C)
+    # gather mode: one fused resize+gather per pyramid level (best for coarse
+    # pyramids); crop mode: one chunked interpolation-einsum over the whole
+    # window set (program size independent of pyramid density — required for
+    # FDDB-style 1.005 pyramids with ~500 levels)
     mean0, std0 = stage_stats[0]
-    x = (windows - mean0) / std0
-    out = cnn.apply_stage(stage_params[0], stage_configs[0], x)
-    p_fg = out["probs"][:, 1]
+    if extraction_mode == "crop":
+        probs0, bottleneck = _apply_stage_on_boxes_chunked(
+            image_f,
+            boxes_float,
+            None,
+            stage_params[0],
+            stage_configs[0],
+            mean0,
+            std0,
+            chunk,
+            high_precision,
+        )
+        n_windows0 = boxes_float.shape[0]
+    else:
+        windows = extract_windows(image_f, plan)  # (N0, s0, s0, C)
+        x = (windows - mean0) / std0
+        out0 = cnn.apply_stage(stage_params[0], stage_configs[0], x)
+        probs0, bottleneck = out0["probs"], out0["bottleneck"]
+        n_windows0 = windows.shape[0]
+    p_fg = probs0[:, 1]
     alive = p_fg > thresholds[0]
     if confidence_mode == cf.FINAL_CONFIDENCE_CALCULATION_AVG:
         conf = p_fg
@@ -139,8 +231,7 @@ def _cascade_core(
     else:  # LAST
         conf = p_fg
 
-    window_ids = jnp.arange(windows.shape[0], dtype=jnp.int32)
-    bottleneck = out["bottleneck"]
+    window_ids = jnp.arange(n_windows0, dtype=jnp.int32)
     survivors = [jnp.sum(alive.astype(jnp.int32))]
 
     for i in range(1, n_stages):
@@ -155,19 +246,23 @@ def _cascade_core(
         bottleneck = bottleneck[keep]
 
         # ---- re-gather surviving windows at the next resolution ----
-        size = stage_configs[i].input_size
         boxes = coords_norm[window_ids].astype(jnp.float32)
-        wins = crop_and_resize(
-            image_f, boxes, out_h=size, out_w=size, high_precision=high_precision
-        )
         mean_i, std_i = stage_stats[i]
-        x = (wins - mean_i) / std_i
-
         bneck_in = (
             bottleneck if stage_configs[i].bottleneck_in_size is not None else None
         )
-        out = cnn.apply_stage(stage_params[i], stage_configs[i], x, bneck_in)
-        p_i = out["probs"][:, 1]
+        probs_i, bottleneck = _apply_stage_on_boxes_chunked(
+            image_f,
+            boxes,
+            bneck_in,
+            stage_params[i],
+            stage_configs[i],
+            mean_i,
+            std_i,
+            chunk,
+            high_precision,
+        )
+        p_i = probs_i[:, 1]
         stage_alive = p_i > thresholds[i]
         alive = alive & stage_alive
 
@@ -178,7 +273,6 @@ def _cascade_core(
         else:  # LAST: only the final net's score matters
             conf = p_i
         p_fg = p_i
-        bottleneck = out["bottleneck"]
         survivors.append(jnp.sum(alive.astype(jnp.int32)))
 
     # finalize confidence (inference_cascade_app.py:322-327)
@@ -213,15 +307,19 @@ def _pack_result(window_ids, conf, alive, survivors):
         "confidence_mode",
         "thresholds",
         "high_precision",
+        "extraction_mode",
+        "chunk",
     ),
 )
-def _cascade_infer_device(image, coords_norm, stage_params, stage_stats, plan,
-                          stage_configs, capacities, confidence_mode, thresholds,
-                          high_precision=False):
+def _cascade_infer_device(image, coords_norm, boxes_float, stage_params,
+                          stage_stats, plan, stage_configs, capacities,
+                          confidence_mode, thresholds, high_precision=False,
+                          extraction_mode="gather", chunk=16384):
     """Single-image jitted cascade program (kept for the graft entry point)."""
     return _cascade_core(
-        image, coords_norm, stage_params, stage_stats, plan, stage_configs,
-        capacities, confidence_mode, thresholds, high_precision,
+        image, coords_norm, boxes_float, stage_params, stage_stats, plan,
+        stage_configs, capacities, confidence_mode, thresholds, high_precision,
+        extraction_mode, chunk,
     )
 
 
@@ -234,11 +332,14 @@ def _cascade_infer_device(image, coords_norm, stage_params, stage_stats, plan,
         "confidence_mode",
         "thresholds",
         "high_precision",
+        "extraction_mode",
+        "chunk",
     ),
 )
-def _cascade_infer_device_batch(images, coords_norm, stage_params, stage_stats,
-                                plan, stage_configs, capacities, confidence_mode,
-                                thresholds, high_precision=False):
+def _cascade_infer_device_batch(images, coords_norm, boxes_float, stage_params,
+                                stage_stats, plan, stage_configs, capacities,
+                                confidence_mode, thresholds, high_precision=False,
+                                extraction_mode="gather", chunk=16384):
     """Batched cascade program: (B, H, W, C) images -> one packed float32
     (B, 3*C_last + n_stages) result array in ONE device round-trip.
 
@@ -252,8 +353,9 @@ def _cascade_infer_device_batch(images, coords_norm, stage_params, stage_stats,
 
     def one(image):
         out = _cascade_core(
-            image, coords_norm, stage_params, stage_stats, plan, stage_configs,
-            capacities, confidence_mode, thresholds, high_precision,
+            image, coords_norm, boxes_float, stage_params, stage_stats, plan,
+            stage_configs, capacities, confidence_mode, thresholds,
+            high_precision, extraction_mode, chunk,
         )
         return _pack_result(*out)
 
@@ -297,13 +399,54 @@ class CascadeDetector:
         )
         table = window_table(plan)
         coords_norm = jnp.asarray(table["coords_norm"], dtype=jnp.int32)
-        return plan, table, coords_norm
+        boxes_float = jnp.asarray(table["boxes_float"], dtype=jnp.float32)
+        return plan, table, coords_norm, boxes_float
 
     def detect(self, image: np.ndarray) -> DetectionResult:
         """Run the full pyramid cascade on one (H, W, 3) uint8 image."""
         return self.detect_batch([image])[0]
 
     def detect_batch(self, images: Sequence[np.ndarray]) -> List[DetectionResult]:
+        """Detect over a list of images, optionally normalizing image sizes
+        to configured buckets first.
+
+        ``inference_resize_buckets`` (list of (h, w), or None): corpora with
+        many distinct image sizes (e.g. FDDB) would compile one cascade
+        program per size; bucketing resizes each image to its nearest bucket
+        and maps detections back, trading exact pyramid geometry for a
+        bounded number of compiled programs. None (default) keeps the
+        reference's exact per-size geometry.
+        """
+        buckets = cf.get("inference_resize_buckets")
+        if not buckets:
+            return self._detect_batch_exact(images)
+
+        from ..data.image_io import resize_rgb
+
+        resized: List[np.ndarray] = []
+        inverse_scales: List[Tuple[float, float]] = []
+        for img in images:
+            h, w = img.shape[0], img.shape[1]
+            bh, bw = min(
+                buckets,
+                key=lambda b: abs(np.log(h / b[0])) + abs(np.log(w / b[1])),
+            )
+            if (bh, bw) == (h, w):
+                resized.append(img)
+                inverse_scales.append((1.0, 1.0))
+            else:
+                resized.append(resize_rgb(img, bh, bw))
+                inverse_scales.append((w / bw, h / bh))
+
+        results = self._detect_batch_exact(resized)
+        for res, (sx, sy) in zip(results, inverse_scales):
+            if sx != 1.0 or sy != 1.0:
+                factors = np.array([sx, sy, sx, sy])
+                res.boxes = res.boxes * factors
+                res.raw_boxes = (res.raw_boxes * factors).astype(res.raw_boxes.dtype)
+        return results
+
+    def _detect_batch_exact(self, images: Sequence[np.ndarray]) -> List[DetectionResult]:
         """Detect over a list of images (the reference's merge mode,
         app/abstract_inference_app.py:38-106, without its host-side window
         merging: same-size frames are stacked through ONE batched device
@@ -317,7 +460,7 @@ class CascadeDetector:
             by_size.setdefault((img.shape[0], img.shape[1]), []).append(i)
 
         for (img_h, img_w), idxs in by_size.items():
-            plan, table, coords_norm = self._plan_and_table(img_h, img_w)
+            plan, table, coords_norm, boxes_float = self._plan_and_table(img_h, img_w)
             if plan.n_windows < 1:
                 raise ValueError("Could not extract any windows from the given image")
             n_stages = self.model.n_nets
@@ -327,6 +470,7 @@ class CascadeDetector:
             )
             thresholds = tuple(resolve_thresholds(n_stages))
             mode = cf.get("final_confidence_calculation")
+            extraction_mode = resolve_extraction_mode(plan)
 
             n_stages_ = self.model.n_nets
             cap_last = capacities[-1] if capacities else plan.n_windows
@@ -343,6 +487,7 @@ class CascadeDetector:
                 packed = _cascade_infer_device_batch(
                     jnp.asarray(stack),
                     coords_norm,
+                    boxes_float,
                     self._params_device,
                     self._stats_device,
                     plan,
@@ -351,6 +496,8 @@ class CascadeDetector:
                     mode,
                     thresholds,
                     bool(cf.get("inference_high_precision")),
+                    extraction_mode,
+                    int(cf.get("inference_chunk_size")),
                 )
                 pending.append((chunk, packed))
 

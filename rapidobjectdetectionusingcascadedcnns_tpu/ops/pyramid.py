@@ -162,6 +162,7 @@ def window_table(plan: PyramidPlan):
     coords = np.empty((plan.n_windows, 4), dtype=np.int32)
     scales = np.empty((plan.n_windows,), dtype=np.float64)
     scale_idx = np.empty((plan.n_windows,), dtype=np.int32)
+    boxes_float = np.empty((plan.n_windows, 4), dtype=np.float64)
     offset = 0
     for si, s in enumerate(plan.scales):
         nx, ny = len(s.xs), len(s.ys)
@@ -177,6 +178,14 @@ def window_table(plan: PyramidPlan):
         coords[offset : offset + n, 3] = ymin + plan.window_h
         scales[offset : offset + n] = s.scale
         scale_idx[offset : offset + n] = si
+        # exact resize ratios of the int-truncated level dims: crop-mode
+        # sampling of these float boxes coincides with resize-then-slice
+        rw = plan.img_w / s.scaled_w
+        rh = plan.img_h / s.scaled_h
+        boxes_float[offset : offset + n, 0] = xmin * rw
+        boxes_float[offset : offset + n, 1] = ymin * rh
+        boxes_float[offset : offset + n, 2] = (xmin + plan.window_w) * rw
+        boxes_float[offset : offset + n, 3] = (ymin + plan.window_h) * rh
         offset += n
 
     # int() truncation toward zero (coords are non-negative => floor)
@@ -186,4 +195,7 @@ def window_table(plan: PyramidPlan):
         "scales": scales,
         "scale_idx": scale_idx,
         "coords_norm": coords_norm,
+        # exact float window geometry on the original image: crop_and_resize
+        # of these boxes samples the same positions as resize-then-slice
+        "boxes_float": boxes_float.astype(np.float32),
     }

@@ -112,19 +112,15 @@ def extract_windows(
     return jnp.concatenate(parts, axis=0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("out_h", "out_w", "quantize", "high_precision")
-)
-def crop_and_resize(
+def _crop_and_resize_core(
     image: jnp.ndarray,
     boxes: jnp.ndarray,
-    *,
     out_h: int,
     out_w: int,
-    quantize: bool = True,
-    high_precision: bool = False,
+    quantize: bool,
+    high_precision: bool,
 ) -> jnp.ndarray:
-    """Batched crop + bilinear resize straight from the full-resolution image.
+    """Traceable core of :func:`crop_and_resize`.
 
     ``image``: (H, W, C); ``boxes``: (N, 4) in original pixel coordinates
     (xmin, ymin, xmax, ymax) with *exclusive* max (numpy-slice semantics, like
@@ -201,6 +197,88 @@ def crop_and_resize(
     if quantize:
         out = _quantize_u8(out)
     return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_h", "out_w", "quantize", "high_precision")
+)
+def crop_and_resize(
+    image: jnp.ndarray,
+    boxes: jnp.ndarray,
+    *,
+    out_h: int,
+    out_w: int,
+    quantize: bool = True,
+    high_precision: bool = False,
+) -> jnp.ndarray:
+    """Batched crop + bilinear resize straight from the full-resolution image.
+
+    ``image``: (H, W, C); ``boxes``: (N, 4) in original pixel coordinates
+    (xmin, ymin, xmax, ymax) with *exclusive* max (numpy-slice semantics, like
+    the reference's ``Window.raw_norm`` crop, data/rectangles.py:293-307).
+    Returns (N, out_h, out_w, C) float32. See :func:`_crop_and_resize_core`.
+    """
+    return _crop_and_resize_core(image, boxes, out_h, out_w, quantize, high_precision)
+
+
+def crop_windows_chunked(
+    image: jnp.ndarray,
+    boxes: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    chunk: int = 16384,
+    quantize: bool = True,
+    high_precision: bool = False,
+) -> jnp.ndarray:
+    """Memory-bounded crop_and_resize over very large window sets (traceable).
+
+    Dense pyramids (FDDB uses window_scale_factor 1.005 =>
+    ~500 scales / ~1e5+ windows, app/evaluate_fddb_app.py:34) make both the
+    per-scale unrolled extraction graph (compile time) and a single
+    interpolation-matrix einsum (VMEM/HBM) infeasible. This pads the window
+    set to a chunk multiple and lax.maps the einsum kernel over chunks: the
+    program stays a handful of ops regardless of pyramid density.
+
+    Boxes may be float (fractional window geometry): extracting a window at
+    pyramid scale s equals crop_and_resize of the float box
+    ``coords / s`` — the half-pixel sampling positions coincide exactly with
+    resize-then-slice (see ops/pyramid.py ordering contract).
+    """
+    n = boxes.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    boxes_p = jnp.concatenate([boxes, jnp.broadcast_to(boxes[-1:], (pad, 4))])
+    boxes_c = boxes_p.reshape(n_chunks, chunk, 4)
+
+    def one(chunk_boxes):
+        return _crop_and_resize_core(
+            image, chunk_boxes, out_h, out_w, quantize, high_precision
+        )
+
+    out = jax.lax.map(one, boxes_c)
+    return out.reshape(n_chunks * chunk, out_h, out_w, image.shape[-1])[:n]
+
+
+def extract_windows_crop(
+    image: jnp.ndarray,
+    boxes_float: jnp.ndarray,
+    window_h: int,
+    window_w: int,
+    chunk: int = 16384,
+    high_precision: bool = False,
+) -> jnp.ndarray:
+    """Dense-pyramid window extraction as one chunked crop_and_resize
+    (traceable). ``boxes_float``: (N, 4) float window boxes on the original
+    image (scaled-plan coords divided by their scale)."""
+    return crop_windows_chunked(
+        image.astype(jnp.float32),
+        boxes_float.astype(jnp.float32),
+        window_h,
+        window_w,
+        chunk=chunk,
+        quantize=True,
+        high_precision=high_precision,
+    )
 
 
 def count_compiles_hint(plan: PyramidPlan) -> int:
