@@ -53,10 +53,18 @@ def main() -> None:
         for s in range(n_scenes)
     ]
 
+    # frames arrive in YUV420 (the native format of camera/video sources —
+    # half the ingress bytes of RGB24); chroma->RGB conversion fuses into the
+    # device program (ops/color.py)
+    from rapidobjectdetectionusingcascadedcnns_tpu.ops.color import rgb_to_yuv420
+
+    yuv_scenes = [rgb_to_yuv420(s) for s in scenes]
+
     # warmup: compile the batched program + first NMS
     batch = int(cf.get("inference_batch_frames"))
-    frames = [scenes[i % n_scenes] for i in range(batch)]
-    res = detector.detect_batch(frames)[0]
+    res = detector.detect_batch_yuv420(
+        [yuv_scenes[i % n_scenes] for i in range(batch)]
+    )[0]
     sys.stderr.write(
         "warmup: {} windows, survivors per stage {}\n".format(
             res.n_windows, res.n_survivors_per_stage
@@ -66,9 +74,9 @@ def main() -> None:
     # one pipelined stream: chunks are dispatched ahead of result fetches so
     # frame uploads overlap device compute (production video-serving shape)
     n_frames = batch * 12
-    stream = [scenes[i % n_scenes] for i in range(n_frames)]
+    stream = [yuv_scenes[i % n_scenes] for i in range(n_frames)]
     start = time.perf_counter()
-    detector.detect_batch(stream)
+    detector.detect_batch_yuv420(stream)
     elapsed = time.perf_counter() - start
     fps = n_frames / elapsed
 

@@ -362,6 +362,42 @@ def _cascade_infer_device_batch(images, coords_norm, boxes_float, stage_params,
     return jax.vmap(one)(images)  # (B, 3*C_last + n_stages)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "plan",
+        "stage_configs",
+        "capacities",
+        "confidence_mode",
+        "thresholds",
+        "high_precision",
+        "extraction_mode",
+        "chunk",
+    ),
+)
+def _cascade_infer_device_batch_yuv(y_planes, uv_planes, coords_norm, boxes_float,
+                                    stage_params, stage_stats, plan, stage_configs,
+                                    capacities, confidence_mode, thresholds,
+                                    high_precision=False, extraction_mode="gather",
+                                    chunk=16384):
+    """Batched cascade over YUV420 frames: (B, H, W) Y + (B, H/2, W/2, 2) UV
+    uint8 -> same packed result as the RGB program. Half the ingress bytes of
+    RGB24 (see ops/color.py); conversion fuses into the program."""
+    from ..ops.color import yuv420_to_rgb
+
+    def one(args):
+        y, uv = args
+        image = yuv420_to_rgb(y, uv)
+        out = _cascade_core(
+            image, coords_norm, boxes_float, stage_params, stage_stats, plan,
+            stage_configs, capacities, confidence_mode, thresholds,
+            high_precision, extraction_mode, chunk,
+        )
+        return _pack_result(*out)
+
+    return jax.vmap(one)((y_planes, uv_planes))
+
+
 class CascadeDetector:
     """Host-side orchestration around the jitted cascade program.
 
@@ -446,7 +482,16 @@ class CascadeDetector:
                 res.raw_boxes = (res.raw_boxes * factors).astype(res.raw_boxes.dtype)
         return results
 
-    def _detect_batch_exact(self, images: Sequence[np.ndarray]) -> List[DetectionResult]:
+    def detect_batch_yuv420(self, frames: Sequence[Tuple[np.ndarray, np.ndarray]]):
+        """Detect over YUV420 frames: each frame is (Y (H, W) uint8,
+        UV (H/2, W/2, 2) uint8). Halves ingress bytes vs RGB24 — the natural
+        serving format for video sources; chroma->RGB conversion fuses into
+        the device program (ops/color.py)."""
+        return self._detect_batch_exact(frames, yuv=True)
+
+    def _detect_batch_exact(
+        self, images: Sequence, yuv: bool = False
+    ) -> List[DetectionResult]:
         """Detect over a list of images (the reference's merge mode,
         app/abstract_inference_app.py:38-106, without its host-side window
         merging: same-size frames are stacked through ONE batched device
@@ -457,7 +502,8 @@ class CascadeDetector:
         # group by image size so each group shares one pyramid plan
         by_size: Dict[Tuple[int, int], List[int]] = {}
         for i, img in enumerate(images):
-            by_size.setdefault((img.shape[0], img.shape[1]), []).append(i)
+            shape = img[0].shape if yuv else img.shape
+            by_size.setdefault((shape[0], shape[1]), []).append(i)
 
         for (img_h, img_w), idxs in by_size.items():
             plan, table, coords_norm, boxes_float = self._plan_and_table(img_h, img_w)
@@ -483,9 +529,7 @@ class CascadeDetector:
             done = []
 
             def dispatch(chunk):
-                stack = np.stack([images[i] for i in chunk])
-                packed = _cascade_infer_device_batch(
-                    jnp.asarray(stack),
+                common = (
                     coords_norm,
                     boxes_float,
                     self._params_device,
@@ -499,6 +543,15 @@ class CascadeDetector:
                     extraction_mode,
                     int(cf.get("inference_chunk_size")),
                 )
+                if yuv:
+                    y_stack = np.stack([images[i][0] for i in chunk])
+                    uv_stack = np.stack([images[i][1] for i in chunk])
+                    packed = _cascade_infer_device_batch_yuv(
+                        jnp.asarray(y_stack), jnp.asarray(uv_stack), *common
+                    )
+                else:
+                    stack = np.stack([images[i] for i in chunk])
+                    packed = _cascade_infer_device_batch(jnp.asarray(stack), *common)
                 pending.append((chunk, packed))
 
             chunks = [

@@ -1,0 +1,55 @@
+"""YUV420 <-> RGB conversion.
+
+Production video pipelines deliver frames as chroma-subsampled YUV420 (half
+the bytes of RGB24). Accepting that format natively halves the host->device
+transfer per frame — the binding constraint for network-attached or
+PCIe-limited serving — and the planar->RGB conversion is a few fused VPU ops
+on device. BT.601 full-range coefficients; chroma is upsampled bilinearly.
+
+The detector consumes RGB internally, so this is purely an ingress format:
+``yuv420_to_rgb`` runs inside the jitted cascade program,
+``rgb_to_yuv420`` is the host-side encoder used by tests/benchmarks.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rgb_to_yuv420(rgb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host encoder: (H, W, 3) uint8 -> (Y (H, W), UV (H/2, W/2, 2)) uint8.
+
+    H and W must be even. BT.601 full range; chroma planes are 2x2 box means.
+    """
+    rgb = rgb.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    h, w = y.shape
+    u_sub = u.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    v_sub = v.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    return (
+        np.clip(np.round(y), 0, 255).astype(np.uint8),
+        np.clip(np.round(np.stack([u_sub, v_sub], axis=-1)), 0, 255).astype(np.uint8),
+    )
+
+
+def yuv420_to_rgb(y: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Device decoder: Y (H, W) + UV (H/2, W/2, 2) uint8 -> (H, W, 3) float32
+    RGB in [0, 255]. Traceable; chroma upsampled bilinearly."""
+    h, w = y.shape[0], y.shape[1]
+    yf = y.astype(jnp.float32)
+    uvf = jax.image.resize(
+        uv.astype(jnp.float32), (h, w, 2), method="bilinear", antialias=False
+    )
+    u = uvf[..., 0] - 128.0
+    v = uvf[..., 1] - 128.0
+    r = yf + 1.402 * v
+    g = yf - 0.344136 * u - 0.714136 * v
+    b = yf + 1.772 * u
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
