@@ -139,6 +139,7 @@ def _build_defaults() -> Dict[str, Any]:
     cf["cascade_increasing_input_dimensions"] = True
     cf["reuse_bottlenecks"] = True
     cf["append_inception"] = False
+    cf["inception_weights_path"] = None  # optional local backbone weights
 
     # ----- data(sets) (reference config.py:299-398) -----
     cf["dataset_split"] = [0.8, 0.1, 0.1]

@@ -47,9 +47,17 @@ class StageConfig:
     n_classes: int = 2
     bottleneck_in_size: Optional[int] = None  # previous stage's fc1(+in) width
     compute_dtype: Any = jnp.bfloat16
+    backbone: str = "custom"  # "custom" conv stack | "inception" trunk
+    # (the reference's append_inception grafts the Inception-2015 graph as
+    # the hidden architecture, network/net.py:242-248; see models/inception)
 
     @classmethod
-    def from_config(cls, input_size: int, bottleneck_in_size: Optional[int] = None):
+    def from_config(
+        cls,
+        input_size: int,
+        bottleneck_in_size: Optional[int] = None,
+        backbone: str = "custom",
+    ):
         from .. import config as cf
 
         dtype = jnp.bfloat16 if cf.get("compute_dtype") == "bfloat16" else jnp.float32
@@ -63,13 +71,23 @@ class StageConfig:
             fc1_size=cf.get("fc1_size"),
             bottleneck_in_size=bottleneck_in_size,
             compute_dtype=dtype,
+            backbone=backbone,
         )
+
+    @property
+    def hidden_width(self) -> int:
+        """Width of the hidden ("fc1") representation before any concat."""
+        if self.backbone == "inception":
+            from . import inception
+
+            return inception.BOTTLENECK_TENSOR_SIZE
+        return self.fc1_size
 
     @property
     def bottleneck_out_size(self) -> int:
         """Width of the bottleneck this stage exposes to the next one:
         fc1 concatenated with the incoming bottleneck (net.py:139-146)."""
-        return self.fc1_size + (self.bottleneck_in_size or 0)
+        return self.hidden_width + (self.bottleneck_in_size or 0)
 
     def conv_output_hw(self) -> int:
         """Spatial size after the conv/pool stack (SAME padding)."""
@@ -92,6 +110,8 @@ def _glorot_uniform(key, shape, fan_in, fan_out, dtype=jnp.float32):
 
 def init_stage(key: jax.Array, cfg: StageConfig) -> Params:
     """Initialize one stage's parameter pytree (float32 master weights)."""
+    if cfg.backbone == "inception":
+        return _init_inception_stage(key, cfg)
     params: Params = {"conv": [], "fc1": {}, "fc2": {}}
     in_ch = cfg.channels
     for n_out in cfg.conv_filter_sizes:
@@ -120,6 +140,36 @@ def init_stage(key: jax.Array, cfg: StageConfig) -> Params:
         "b": jnp.zeros((cfg.n_classes,), jnp.float32),
     }
     return params
+
+
+def _init_inception_stage(key: jax.Array, cfg: StageConfig) -> Params:
+    """Inception-backbone stage: trunk + classifier head. Externally provided
+    trunk weights are loaded from cf.get('inception_weights_path') when set
+    (the zero-egress analog of the reference's pretrained download,
+    network/inception_builder.py:39-65)."""
+    from .. import config as cf_mod
+    from . import inception
+
+    key, bkey, fkey = jax.random.split(key, 3)
+    weights_path = (
+        cf_mod.get("inception_weights_path")
+        if cf_mod.has("inception_weights_path")
+        else None
+    )
+    if weights_path:
+        backbone = jax.tree_util.tree_map(
+            jnp.asarray, inception.load_backbone_weights(weights_path)
+        )
+    else:
+        backbone = inception.init_backbone(bkey)
+    fc2_in = inception.BOTTLENECK_TENSOR_SIZE + (cfg.bottleneck_in_size or 0)
+    return {
+        "backbone": backbone,
+        "fc2": {
+            "W": _glorot_uniform(fkey, (fc2_in, cfg.n_classes), fc2_in, cfg.n_classes),
+            "b": jnp.zeros((cfg.n_classes,), jnp.float32),
+        },
+    }
 
 
 def _max_pool_same(x: jnp.ndarray, size: int, stride: int) -> jnp.ndarray:
@@ -152,6 +202,11 @@ def apply_stage(
     to the next stage (net.py:139-146, inference_cascade_app.py:79-87).
     """
     cdt = cfg.compute_dtype
+    if cfg.backbone == "inception":
+        from . import inception
+
+        fc1 = inception.apply_backbone(params["backbone"], x, dtype=cdt)
+        return _head(params, cfg, fc1, bottleneck_in, dropout_keep, dropout_rng)
     h = x.astype(cdt)
     for layer in params["conv"]:
         h = jax.lax.conv_general_dilated(
@@ -172,7 +227,13 @@ def apply_stage(
         + params["fc1"]["b"]
     )
     fc1 = jax.nn.relu(fc1)
+    return _head(params, cfg, fc1, bottleneck_in, dropout_keep, dropout_rng)
 
+
+def _head(params, cfg, fc1, bottleneck_in, dropout_keep, dropout_rng):
+    """Shared classifier head: bottleneck concat -> dropout -> fc2 -> softmax
+    (net.py:139-165)."""
+    cdt = cfg.compute_dtype
     if cfg.bottleneck_in_size is not None:
         if bottleneck_in is None:
             raise ValueError("stage expects a bottleneck_in tensor")

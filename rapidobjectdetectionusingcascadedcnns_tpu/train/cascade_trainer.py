@@ -61,6 +61,15 @@ class SyntheticProvider:
         self._images = {s: imgs[perm] for s, imgs in bundle["images"].items()}
 
     def dataset(self, img_size: int) -> Dataset:
+        if img_size not in self._images:
+            # render on demand (e.g. the 299px inception stage) from the
+            # highest available resolution, order preserved
+            from ..data.image_io import resize_rgb
+
+            base = self._images[max(self._images)]
+            self._images[img_size] = np.stack(
+                [resize_rgb(img, img_size, img_size) for img in base]
+            )
         images = self._images[img_size]
         pp = Preprocessor(images, standardization=cf.get("standardization"))
         return Dataset(
@@ -73,7 +82,8 @@ class SyntheticProvider:
 
 
 def stage_beta(stage_index: int, n_nets: int) -> Optional[float]:
-    """Beta schedule (train_cascade_app.py:56-62)."""
+    """Beta schedule (train_cascade_app.py:56-62). ``n_nets`` includes any
+    appended inception stage, matching the reference's self._n_nets."""
     if not cf.get("f_beta_cascade_loss"):
         return None
     if n_nets == 1:
@@ -128,6 +138,14 @@ class CascadeTrainer:
             cf.get("img_width"),
             cf.get("cascade_increasing_input_dimensions"),
         )
+        # optional extra inception stage at 299px appended after the custom
+        # nets (config.py:279-287, train_cascade_app.py:203-228 special case)
+        self.append_inception = bool(cf.get("append_inception"))
+        if self.append_inception:
+            from ..models import inception
+
+            self.n_nets += 1
+            self.sizes.append(inception.MODEL_INPUT_WIDTH)
         self.stage_trainers: List[SingleNetTrainer] = []
         self.combined_results: Dict[str, Dict[str, float]] = {}
         self._weights: Optional[Dict[str, np.ndarray]] = None
@@ -251,6 +269,7 @@ class CascadeTrainer:
             else:
                 bneck_in = bottleneck_in_size
 
+            use_inception = self.append_inception and stage == self.n_nets - 1
             trial = 1
             while True:
                 trainer = SingleNetTrainer(
@@ -260,6 +279,7 @@ class CascadeTrainer:
                     nr=stage + 1,
                     nr_max=self.n_nets,
                     seed=self.seed + stage + 1000 * trial,
+                    use_inception=use_inception,
                 )
                 try:
                     trainer.train()

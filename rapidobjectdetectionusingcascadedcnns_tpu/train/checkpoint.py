@@ -49,6 +49,7 @@ def _stage_config_to_json(cfg: cnn.StageConfig) -> dict:
         "n_classes": cfg.n_classes,
         "bottleneck_in_size": cfg.bottleneck_in_size,
         "compute_dtype": "bfloat16" if cfg.compute_dtype.__name__ == "bfloat16" else "float32",
+        "backbone": cfg.backbone,
     }
 
 
@@ -67,14 +68,28 @@ def _stage_config_from_json(d: dict) -> cnn.StageConfig:
         n_classes=d["n_classes"],
         bottleneck_in_size=d["bottleneck_in_size"],
         compute_dtype=jnp.bfloat16 if d["compute_dtype"] == "bfloat16" else jnp.float32,
+        backbone=d.get("backbone", "custom"),
     )
 
 
 def _rebuild_params(
     flat: Dict[str, np.ndarray], cfg: cnn.StageConfig
 ) -> cnn.Params:
+    if cfg.backbone == "inception":
+        from ..models import inception
+
+        backbone_flat = {
+            k[len("backbone/"):]: v
+            for k, v in flat.items()
+            if k.startswith("backbone/")
+        }
+        params: cnn.Params = {
+            "backbone": inception.params_from_flat(backbone_flat),
+            "fc2": {"W": flat["fc2/W"], "b": flat["fc2/b"]},
+        }
+        return params
     n_conv = len(cfg.conv_filter_sizes)
-    params: cnn.Params = {"conv": [], "fc1": {}, "fc2": {}}
+    params = {"conv": [], "fc1": {}, "fc2": {}}
     for i in range(n_conv):
         params["conv"].append(
             {"W": flat[f"conv/{i}/W"], "b": flat[f"conv/{i}/b"]}

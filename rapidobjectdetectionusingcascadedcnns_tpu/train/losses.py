@@ -91,12 +91,9 @@ def fc_regularization(
 ) -> jnp.ndarray:
     """L2/L1 penalties on fc1/fc2 weights and biases (net_trainable.py:109-124)."""
     reg = jnp.float32(0.0)
-    leaves = [
-        params["fc1"]["W"],
-        params["fc1"]["b"],
-        params["fc2"]["W"],
-        params["fc2"]["b"],
-    ]
+    leaves = [params["fc2"]["W"], params["fc2"]["b"]]
+    if "fc1" in params:  # inception-backbone stages have no fc1
+        leaves += [params["fc1"]["W"], params["fc1"]["b"]]
     if l2_strength > 0:
         reg = reg + l2_strength * sum(0.5 * jnp.sum(w * w) for w in leaves)
     if l1_strength > 0:

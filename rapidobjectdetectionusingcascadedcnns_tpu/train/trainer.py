@@ -57,6 +57,7 @@ class SingleNetTrainer:
         nr_max: int = 1,
         seed: Optional[int] = None,
         snapshot_full_path: str = "",
+        use_inception: bool = False,
     ):
         self.ds = dataset
         self.nr = nr
@@ -82,7 +83,9 @@ class SingleNetTrainer:
 
         img_size = dataset.image_shape[0]
         self.stage_config = cnn.StageConfig.from_config(
-            img_size, bottleneck_in_size=bottleneck_in_size
+            img_size,
+            bottleneck_in_size=bottleneck_in_size,
+            backbone="inception" if use_inception else "custom",
         )
 
         self.iterations_per_epoch = math.ceil(
