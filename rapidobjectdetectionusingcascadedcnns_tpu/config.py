@@ -250,8 +250,18 @@ def _apply_local_overlay(cf: Dict[str, Any]) -> None:
         pass
 
 
+def _apply_debug_overrides(cf: Dict[str, Any]) -> None:
+    """Debug-mode value overrides for fast iterations (reference
+    config.py:555-560)."""
+    if cf.get("debug"):
+        cf["class_min_images"] = 100
+        cf["class_max_images"] = 100
+        cf["epochs_total"] = 3
+
+
 _cf: Dict[str, Any] = _build_defaults()
 _apply_local_overlay(_cf)
+_apply_debug_overrides(_cf)
 _derive_values(_cf)
 _cf_default = copy.deepcopy(_cf)
 
@@ -272,7 +282,9 @@ def has(param_name: str) -> bool:
 def set(param_name: str, param_value: Any) -> None:  # noqa: A001 - parity API
     _cf[param_name] = param_value
     # derived-value hooks (reference config.py:610-620)
-    if param_name == "learning_rate_init":
+    if param_name == "debug":
+        _apply_debug_overrides(_cf)
+    elif param_name == "learning_rate_init":
         _cf["learning_rate_min"] = 0.1 * param_value
     elif param_name == "timeout_minutes":
         _cf["timeout_seconds"] = param_value * 60

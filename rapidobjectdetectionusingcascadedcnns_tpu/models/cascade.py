@@ -406,10 +406,16 @@ class CascadeDetector:
     a fixed-size benchmark compiles exactly once.
     """
 
-    def __init__(self, model: CascadeModel, capacity_schedule=None):
+    def __init__(self, model: CascadeModel, capacity_schedule=None, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — frame batches are sharded
+        over its data axis (multi-chip serving; parameters replicated). The
+        reference is single-device only (SURVEY.md §2.6); this is the
+        TPU-native scaling axis for inference: frames across chips, windows
+        within a chip."""
         if model.n_nets < 2:
             raise ValueError("a cascade must consist of at least two nets")
         self.model = model
+        self.mesh = mesh
         self._capacity_override = capacity_schedule or cf.get(
             "cascade_capacity_schedule"
         )
@@ -420,6 +426,22 @@ class CascadeDetector:
         self._params_device = tuple(
             jax.tree_util.tree_map(jnp.asarray, p) for p in model.stage_params
         )
+        if mesh is not None:
+            from ..parallel import mesh as mesh_mod
+
+            self._stats_device = mesh_mod.replicate(mesh, self._stats_device)
+            self._params_device = mesh_mod.replicate(mesh, self._params_device)
+
+    def _place_stack(self, stack: np.ndarray):
+        """Upload a frame stack, sharded over the mesh's data axis if any.
+        Pads the batch to a device multiple (padding results are dropped by
+        the caller via the chunk index list)."""
+        if self.mesh is None:
+            return jnp.asarray(stack), stack.shape[0]
+        from ..parallel import mesh as mesh_mod
+
+        padded, n = mesh_mod.pad_to_multiple(stack, self.mesh.devices.size)
+        return jax.device_put(padded, mesh_mod.batch_sharding(self.mesh)), n
 
     # -- plan/table caching per image size ------------------------------
     @functools.lru_cache(maxsize=128)
@@ -544,14 +566,18 @@ class CascadeDetector:
                     int(cf.get("inference_chunk_size")),
                 )
                 if yuv:
-                    y_stack = np.stack([images[i][0] for i in chunk])
-                    uv_stack = np.stack([images[i][1] for i in chunk])
-                    packed = _cascade_infer_device_batch_yuv(
-                        jnp.asarray(y_stack), jnp.asarray(uv_stack), *common
+                    y_dev, _ = self._place_stack(
+                        np.stack([images[i][0] for i in chunk])
                     )
+                    uv_dev, _ = self._place_stack(
+                        np.stack([images[i][1] for i in chunk])
+                    )
+                    packed = _cascade_infer_device_batch_yuv(y_dev, uv_dev, *common)
                 else:
-                    stack = np.stack([images[i] for i in chunk])
-                    packed = _cascade_infer_device_batch(jnp.asarray(stack), *common)
+                    stack_dev, _ = self._place_stack(
+                        np.stack([images[i] for i in chunk])
+                    )
+                    packed = _cascade_infer_device_batch(stack_dev, *common)
                 pending.append((chunk, packed))
 
             chunks = [

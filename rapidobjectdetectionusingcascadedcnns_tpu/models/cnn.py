@@ -176,7 +176,7 @@ def _max_pool_same(x: jnp.ndarray, size: int, stride: int) -> jnp.ndarray:
     """Max-pool with SAME padding (net_builder.py:6-17)."""
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        -jnp.inf,  # float literal: monoid-matched to the differentiable max-pool
         jax.lax.max,
         window_dimensions=(1, size, size, 1),
         window_strides=(1, stride, stride, 1),
@@ -207,6 +207,9 @@ def apply_stage(
 
         fc1 = inception.apply_backbone(params["backbone"], x, dtype=cdt)
         return _head(params, cfg, fc1, bottleneck_in, dropout_keep, dropout_rng)
+    # uniform compute dtype through the trunk (all-bf16 convs/matmuls hit
+    # the MXU at full rate and keep fwd/bwd dtypes consistent; TPU MXU
+    # accumulates in float32 internally), f32 at the numerical boundaries
     h = x.astype(cdt)
     for layer in params["conv"]:
         h = jax.lax.conv_general_dilated(
@@ -215,18 +218,14 @@ def apply_stage(
             window_strides=(cfg.conv_stride, cfg.conv_stride),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
-        h = h + layer["b"]
+        h = h + layer["b"].astype(cdt)
         h = jax.nn.relu(h)
-        h = _max_pool_same(h, cfg.pooling_size, cfg.pooling_stride).astype(cdt)
+        h = _max_pool_same(h, cfg.pooling_size, cfg.pooling_stride)
 
     h = h.reshape(h.shape[0], -1)
-    fc1 = (
-        jnp.dot(h, params["fc1"]["W"].astype(cdt), preferred_element_type=jnp.float32)
-        + params["fc1"]["b"]
-    )
-    fc1 = jax.nn.relu(fc1)
+    fc1 = jnp.dot(h, params["fc1"]["W"].astype(cdt)) + params["fc1"]["b"].astype(cdt)
+    fc1 = jax.nn.relu(fc1).astype(jnp.float32)
     return _head(params, cfg, fc1, bottleneck_in, dropout_keep, dropout_rng)
 
 
@@ -252,11 +251,7 @@ def _head(params, cfg, fc1, bottleneck_in, dropout_keep, dropout_rng):
         h2 = jnp.where(mask, h2 / dropout_keep, 0.0)
 
     logits = (
-        jnp.dot(
-            h2.astype(cdt),
-            params["fc2"]["W"].astype(cdt),
-            preferred_element_type=jnp.float32,
-        )
+        jnp.dot(h2.astype(cdt), params["fc2"]["W"].astype(cdt)).astype(jnp.float32)
         + params["fc2"]["b"]
     )
     probs = jax.nn.softmax(logits, axis=-1)

@@ -90,14 +90,13 @@ def _conv(x, p, stride=1, dtype=jnp.bfloat16):
         window_strides=(stride, stride),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return jax.nn.relu(out + p["b"])
+    return jax.nn.relu(out + p["b"].astype(dtype))
 
 
 def apply_backbone(params: Params, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """(N, 299, 299, 3) standardized input -> (N, 2048) bottleneck."""
-    h = x
+    h = x.astype(dtype)
     for p, (_c, _k, stride) in zip(params["stem"], _STEM):
         h = _conv(h, p, stride=stride, dtype=dtype)
     h = jax.lax.reduce_window(
@@ -120,10 +119,8 @@ def apply_backbone(params: Params, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.nd
         )
     pooled = jnp.mean(h, axis=(1, 2))  # global average pool (the pool_3 analog)
     out = (
-        jnp.dot(
-            pooled.astype(dtype),
-            params["proj"]["W"].astype(dtype),
-            preferred_element_type=jnp.float32,
+        jnp.dot(pooled.astype(dtype), params["proj"]["W"].astype(dtype)).astype(
+            jnp.float32
         )
         + params["proj"]["b"]
     )

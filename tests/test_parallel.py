@@ -98,6 +98,30 @@ def test_sharded_train_step_matches_single_device(mesh8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+def test_mesh_sharded_cascade_inference(mesh8):
+    """Frame-batch sharding over the mesh produces the same detections as
+    single-device inference (multi-chip serving path)."""
+    from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+    from rapidobjectdetectionusingcascadedcnns_tpu.data import synthetic
+    from rapidobjectdetectionusingcascadedcnns_tpu.models import cascade
+
+    cf.set("conv_filter_sizes", [8])
+    cf.set("fc1_size", 32)
+    cf.set("compute_dtype", "float32")
+    cf.set("nms", cf.NMS_DISABLED)
+    cf.set("inference_batch_frames", 8)
+    model = cascade.build_cascade_model(seed=0)
+    scenes = [
+        synthetic.make_scene(100, 100, 1, seed=s, min_face=40, max_face=50).image
+        for s in range(6)  # 6 frames force padding to the 8-device multiple
+    ]
+    single = cascade.CascadeDetector(model).detect_batch(scenes)
+    sharded = cascade.CascadeDetector(model, mesh=mesh8).detect_batch(scenes)
+    for a, b in zip(single, sharded):
+        np.testing.assert_array_equal(a.raw_boxes, b.raw_boxes)
+        np.testing.assert_allclose(a.raw_confidences, b.raw_confidences, rtol=1e-5)
+
+
 def test_graft_dryrun_multichip():
     import importlib.util
     import os

@@ -96,6 +96,45 @@ class TestSingleNet:
         assert ds.train.bottlenecks is None
 
 
+class TestAugmentedTraining:
+    def test_training_with_online_augmentation(self):
+        """The in-jit augmentation path trains without breaking (flip +
+        color + crop enabled, like the reference's default dao_ settings)."""
+        _fast_config()
+        cf.set("data_augmentation_online", True)
+        cf.set("dao_horizontal_flip", True)
+        cf.set("dao_color_distortion", True)
+        cf.set("dao_color_distortion_fast_mode", True)
+        cf.set("dao_crop_probability", 0.5)
+        cf.set("epochs_total", 2)
+        provider = ct.SyntheticProvider(80, 80, [12], seed=21)
+        ds = provider.dataset(12)
+        trainer = SingleNetTrainer(ds, seed=0)
+        trainer.train()
+        res = trainer.evaluate_split(ds.valid)
+        assert np.isfinite(trainer._last_loss)
+        assert res["accuracy"] > 0.5, res
+
+
+class TestSnapshotResume:
+    def test_resume_from_exported_stage(self, tmp_path):
+        """snapshot_full_path warm-starts training (config.py:142-144,
+        net.py:260-262)."""
+        _fast_config()
+        cf.set("epochs_total", 1)
+        provider = ct.SyntheticProvider(40, 40, [12], seed=22)
+        ds = provider.dataset(12)
+        first = SingleNetTrainer(ds, seed=0)
+        first.train()
+        path = first.export(str(tmp_path), "warmstart")
+
+        resumed = SingleNetTrainer(ds, seed=1, snapshot_full_path=path)
+        a = np.asarray(first.state.params["fc1"]["W"])
+        b = np.asarray(resumed.state.params["fc1"]["W"])
+        np.testing.assert_array_equal(a, b)
+        resumed.train()  # continues fine from the warm start
+
+
 class TestReweighting:
     def test_adaboost_like_downweights_predicted_background(self):
         w = np.full(10, 0.1)
