@@ -71,14 +71,19 @@ def main() -> None:
         )
     )
 
-    # one pipelined stream: chunks are dispatched ahead of result fetches so
-    # frame uploads overlap device compute (production video-serving shape)
+    # pipelined streams: chunks are dispatched ahead of result fetches so
+    # frame uploads overlap device compute (production video-serving shape);
+    # median of 3 streams damps transport-path noise
     n_frames = batch * 12
     stream = [yuv_scenes[i % n_scenes] for i in range(n_frames)]
-    start = time.perf_counter()
-    detector.detect_batch_yuv420(stream)
-    elapsed = time.perf_counter() - start
-    fps = n_frames / elapsed
+    rates = []
+    for _ in range(3):
+        start = time.perf_counter()
+        detector.detect_batch_yuv420(stream)
+        rates.append(n_frames / (time.perf_counter() - start))
+    rates.sort()
+    fps = rates[1]
+    sys.stderr.write("stream rates: {}\n".format([round(r, 1) for r in rates]))
 
     baseline_target = 50.0  # BASELINE.json north-star (VGA fps/chip on v5e)
     print(
