@@ -78,8 +78,20 @@ class FileListLoader:
         infos = []
         per_entity_count: Dict[str, int] = {}
         max_per_entity = cf.get("background_max_img_per_entity")
+        if dataset_key == "imagenet":
+            from . import imagenet_info
+
+            human_ids = imagenet_info.human_wordnet_ids()
+            ignored_ids = imagenet_info.ignored_wordnet_ids()
         for dirpath, _dirnames, filenames in sorted(os.walk(ds_root)):
             rel_dir = os.path.relpath(dirpath, ds_root)
+            # ImageNet synset folders: humans must not become background for
+            # a face detector, clothing co-occurs with faces — both skipped
+            # (data/db/dataset_config.py:55-91)
+            if dataset_key == "imagenet":
+                wnid = os.path.basename(rel_dir)
+                if wnid in human_ids or wnid in ignored_ids:
+                    continue
             label = self._label_for_folder(dataset_key, rel_dir)
             for name in sorted(filenames):
                 if not name.lower().endswith(IMG_EXTENSIONS):
