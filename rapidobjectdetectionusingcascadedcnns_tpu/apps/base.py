@@ -31,6 +31,9 @@ class BaseApp(abc.ABC):
             log.log_save(cf.ensure_dir("log_dir"), cf.get("session_key"))
 
     def run(self):
+        from ..utils import jit_cache
+
+        jit_cache.enable()
         timer = TimeWatcher(type(self).__name__)
         try:
             self._main()

@@ -264,14 +264,18 @@ class SingleNetTrainer:
         n_const_predict = np.zeros((n_labels(),), np.uint8)
         cancel = False
 
+        from ..data.prefetch import PrefetchIterator
+
         it = self.ds.train.new_default_iterator(cf.get("batch_size"))
+        step = 0
         while it.epoch < cf.get("epochs_total"):
             if cancel:
                 break
             log.log("Epoch {}/{}".format(it.epoch + 1, cf.get("epochs_total")))
-            curr_epoch = it.epoch
-            while it.epoch == curr_epoch:
-                batch = it.next_batch
+            # host-side batch assembly runs ahead of the device in a
+            # background thread (SURVEY.md §2.6 host-parallel input pipeline)
+            for batch in PrefetchIterator(iter(it), depth=2):
+                step += 1
                 self._rng_key, step_key = jax.random.split(self._rng_key)
                 self.state, loss = self._train_step(
                     self.state,
@@ -282,7 +286,6 @@ class SingleNetTrainer:
                     self._std,
                     step_key,
                 )
-                step = it.n_provided_batches
 
                 if step % interrupt_often == 1 or step == self.iterations_total:
                     loss_value = float(loss)
