@@ -61,8 +61,8 @@ def shard_for_host(
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
 ) -> List[T]:
-    """Deterministic per-host partition (strided, so class balance survives
-    ordered corpora)."""
+    """Deterministic per-host partition (strided). Shuffle the corpus before
+    sharding — a strided split can alias periodic label patterns."""
     if process_index is None or process_count is None:
         import jax
 

@@ -47,7 +47,7 @@ def test_shard_for_host_partition():
     shards = [shard_for_host(items, i, 3) for i in range(3)]
     assert sorted(sum(shards, [])) == items
     assert shards[0] == [0, 3, 6, 9]
-    # strided sharding keeps interleaved classes balanced
-    labels = [i % 2 for i in range(100)]
-    shard = shard_for_host(labels, 0, 2)
-    assert abs(sum(shard) - len(shard) / 2) <= 1
+    # disjoint and exhaustive for any count
+    for n_hosts in (2, 4, 7):
+        shards = [shard_for_host(items, i, n_hosts) for i in range(n_hosts)]
+        assert sorted(sum(shards, [])) == items
