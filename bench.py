@@ -16,9 +16,6 @@ import json
 import sys
 import time
 
-import numpy as np
-
-
 def main() -> None:
     import jax
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import List, Optional
+from typing import List
 
 from .. import config as cf
 from ..data import fddb

@@ -13,7 +13,7 @@ one file per fold, ready for the official Perl evaluator.
 from __future__ import annotations
 
 import os
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 import random
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 from .. import config as cf
 from ..labels import IID_BACKGROUND, IID_FOREGROUND, KEY_FOREGROUND, get_by_key

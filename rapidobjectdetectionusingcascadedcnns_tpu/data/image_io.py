@@ -13,7 +13,6 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from .. import config as cf
 from ..labels import Label
 
 

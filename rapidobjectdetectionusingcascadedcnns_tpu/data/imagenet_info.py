@@ -11,9 +11,8 @@ environments where the endpoint (or a mirror) exists.
 
 from __future__ import annotations
 
-from typing import List, Set
+from typing import Set
 
-from .. import config as cf
 from ..utils import log
 from ..utils.file_handler import fetch_url
 from . import cache as cache_mod

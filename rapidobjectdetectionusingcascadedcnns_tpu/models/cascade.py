@@ -26,8 +26,8 @@ follow the reference's LAST/AVG/MULT accumulation modes
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,7 @@ from .. import config as cf
 from ..ops import nms as nms_ops
 from ..ops import rectangles as rect_ops
 from ..ops.pyramid import PyramidPlan, build_plan, window_table
-from ..ops.windows import crop_and_resize, extract_windows, extract_windows_crop
+from ..ops.windows import crop_and_resize, extract_windows
 from . import cnn
 
 

@@ -24,7 +24,7 @@ list and seeded shuffle, train_cascade_app.py:244-263).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Protocol
+from typing import Dict, List, Optional, Protocol
 
 import numpy as np
 
