@@ -126,8 +126,10 @@ int32_t rodc_group_rectangles(const double* rects_xywh, int32_t n,
     for (int32_t j = 0; j < m && ok; ++j) {
       if (i == j) continue;
       const int64_t* r2 = &cand_xywh[j * 4];
-      int64_t dx = static_cast<int64_t>(r1[2] * 0.2);
-      int64_t dy = static_cast<int64_t>(r1[3] * 0.2);
+      // tolerance uses the CONTAINER's dims with round-half-even
+      // (cv::groupRectangles phase 2 uses cvRound(r2.width * 0.2))
+      int64_t dx = round_half_even(r2[2] * 0.2);
+      int64_t dy = round_half_even(r2[3] * 0.2);
       if (r1[0] >= r2[0] - dx && r1[1] >= r2[1] - dy &&
           r1[0] + r1[2] <= r2[0] + r2[2] + dx &&
           r1[1] + r1[3] <= r2[1] + r2[3] + dy &&

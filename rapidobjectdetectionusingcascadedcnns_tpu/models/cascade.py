@@ -188,11 +188,17 @@ def _cascade_core(
     high_precision: bool = False,
     extraction_mode: str = "gather",
     chunk: int = 16384,
+    nms_min_neighbors: int = -1,
 ):
     """Full-cascade single-image inference (traceable core).
 
     Returns (window_ids (C_last,), confidences (C_last,), alive (C_last,),
-    survivors_per_stage (n_stages,)).
+    survivors_per_stage (n_stages,)). With ``nms_min_neighbors >= 0`` the
+    groupRectangles clustering also runs on device (ops/nms.py
+    group_rectangles_jax) and the returned tuple gains
+    (cluster_xywh (C_last, 4), cluster_weights (C_last,),
+    cluster_keep (C_last,)) — the pure-device serving tail: nothing but the
+    final packed result ever leaves the chip.
     """
     n_stages = len(stage_configs)
     image_f = image.astype(jnp.float32)
@@ -281,21 +287,53 @@ def _cascade_core(
     elif confidence_mode == cf.FINAL_CONFIDENCE_CALCULATION_MULT:
         conf = jnp.maximum(conf, cf.MIN_SCORE_FOR_FINAL_CONFIDENCE_CALCULATION_MULT)
 
+    if nms_min_neighbors >= 0:
+        final_boxes = coords_norm[window_ids].astype(jnp.float32)
+        xywh = jnp.stack(
+            [
+                final_boxes[:, 0],
+                final_boxes[:, 1],
+                final_boxes[:, 2] - final_boxes[:, 0],
+                final_boxes[:, 3] - final_boxes[:, 1],
+            ],
+            axis=1,
+        )
+        cl_avg, cl_weights, cl_keep = nms_ops.group_rectangles_jax(
+            xywh, alive, nms_min_neighbors
+        )
+        return (
+            window_ids,
+            conf,
+            alive,
+            jnp.stack(survivors),
+            cl_avg,
+            cl_weights,
+            cl_keep,
+        )
+
     return window_ids, conf, alive, jnp.stack(survivors)
 
 
-def _pack_result(window_ids, conf, alive, survivors):
+def _pack_result(window_ids, conf, alive, survivors, *nms_tail):
     """Pack ALL per-image outputs into ONE flat float32 vector so host
     readback is a single transfer (remote/tunneled runtimes pay a round-trip
-    per buffer). Layout: [ids (C), conf (C), alive (C), survivors (S)]."""
-    return jnp.concatenate(
-        [
-            window_ids.astype(jnp.float32),
-            conf.astype(jnp.float32),
-            alive.astype(jnp.float32),
-            survivors.astype(jnp.float32),
+    per buffer). Layout: [ids (C), conf (C), alive (C), survivors (S)] plus,
+    with the on-device NMS tail, [xywh (C, 4) row-major, weights (C),
+    keep (C)]."""
+    parts = [
+        window_ids.astype(jnp.float32),
+        conf.astype(jnp.float32),
+        alive.astype(jnp.float32),
+        survivors.astype(jnp.float32),
+    ]
+    if nms_tail:
+        cl_avg, cl_weights, cl_keep = nms_tail
+        parts += [
+            cl_avg.astype(jnp.float32).reshape(-1),
+            cl_weights.astype(jnp.float32),
+            cl_keep.astype(jnp.float32),
         ]
-    )
+    return jnp.concatenate(parts)
 
 
 @functools.partial(
@@ -309,17 +347,19 @@ def _pack_result(window_ids, conf, alive, survivors):
         "high_precision",
         "extraction_mode",
         "chunk",
+        "nms_min_neighbors",
     ),
 )
 def _cascade_infer_device(image, coords_norm, boxes_float, stage_params,
                           stage_stats, plan, stage_configs, capacities,
                           confidence_mode, thresholds, high_precision=False,
-                          extraction_mode="gather", chunk=16384):
+                          extraction_mode="gather", chunk=16384,
+                          nms_min_neighbors=-1):
     """Single-image jitted cascade program (kept for the graft entry point)."""
     return _cascade_core(
         image, coords_norm, boxes_float, stage_params, stage_stats, plan,
         stage_configs, capacities, confidence_mode, thresholds, high_precision,
-        extraction_mode, chunk,
+        extraction_mode, chunk, nms_min_neighbors,
     )
 
 
@@ -334,12 +374,14 @@ def _cascade_infer_device(image, coords_norm, boxes_float, stage_params,
         "high_precision",
         "extraction_mode",
         "chunk",
+        "nms_min_neighbors",
     ),
 )
 def _cascade_infer_device_batch(images, coords_norm, boxes_float, stage_params,
                                 stage_stats, plan, stage_configs, capacities,
                                 confidence_mode, thresholds, high_precision=False,
-                                extraction_mode="gather", chunk=16384):
+                                extraction_mode="gather", chunk=16384,
+                                nms_min_neighbors=-1):
     """Batched cascade program: (B, H, W, C) images -> one packed float32
     (B, 3*C_last + n_stages) result array in ONE device round-trip.
 
@@ -355,7 +397,7 @@ def _cascade_infer_device_batch(images, coords_norm, boxes_float, stage_params,
         out = _cascade_core(
             image, coords_norm, boxes_float, stage_params, stage_stats, plan,
             stage_configs, capacities, confidence_mode, thresholds,
-            high_precision, extraction_mode, chunk,
+            high_precision, extraction_mode, chunk, nms_min_neighbors,
         )
         return _pack_result(*out)
 
@@ -373,13 +415,14 @@ def _cascade_infer_device_batch(images, coords_norm, boxes_float, stage_params,
         "high_precision",
         "extraction_mode",
         "chunk",
+        "nms_min_neighbors",
     ),
 )
 def _cascade_infer_device_batch_yuv(y_planes, uv_planes, coords_norm, boxes_float,
                                     stage_params, stage_stats, plan, stage_configs,
                                     capacities, confidence_mode, thresholds,
                                     high_precision=False, extraction_mode="gather",
-                                    chunk=16384):
+                                    chunk=16384, nms_min_neighbors=-1):
     """Batched cascade over YUV420 frames: (B, H, W) Y + (B, H/2, W/2, 2) UV
     uint8 -> same packed result as the RGB program. Half the ingress bytes of
     RGB24 (see ops/color.py); conversion fuses into the program."""
@@ -391,7 +434,7 @@ def _cascade_infer_device_batch_yuv(y_planes, uv_planes, coords_norm, boxes_floa
         out = _cascade_core(
             image, coords_norm, boxes_float, stage_params, stage_stats, plan,
             stage_configs, capacities, confidence_mode, thresholds,
-            high_precision, extraction_mode, chunk,
+            high_precision, extraction_mode, chunk, nms_min_neighbors,
         )
         return _pack_result(*out)
 
@@ -539,6 +582,11 @@ class CascadeDetector:
             thresholds = tuple(resolve_thresholds(n_stages))
             mode = cf.get("final_confidence_calculation")
             extraction_mode = resolve_extraction_mode(plan)
+            # pure-device serving tail: clustering runs inside the program
+            nms_on_device = bool(cf.get("nms_on_device")) and cf.get(
+                "nms"
+            ) == cf.NMS_OPENCV
+            nms_mn = int(cf.get("nms_opencv_min_neighbors")) if nms_on_device else -1
 
             n_stages_ = self.model.n_nets
             cap_last = capacities[-1] if capacities else plan.n_windows
@@ -564,6 +612,7 @@ class CascadeDetector:
                     bool(cf.get("inference_high_precision")),
                     extraction_mode,
                     int(cf.get("inference_chunk_size")),
+                    nms_mn,
                 )
                 if yuv:
                     y_dev, _ = self._place_stack(
@@ -598,11 +647,32 @@ class CascadeDetector:
                     window_ids = row[:cap_last].astype(np.int64)
                     conf = row[cap_last : 2 * cap_last]
                     alive = row[2 * cap_last : 3 * cap_last] > 0.5
-                    survivors = row[3 * cap_last : 3 * cap_last + n_stages_]
+                    base = 3 * cap_last
+                    survivors = row[base : base + n_stages_]
                     keep_ids = window_ids[alive]
                     raw_boxes = table["coords_norm"][keep_ids]
                     raw_conf = conf[alive]
-                    boxes, confidences = self._postprocess(raw_boxes, raw_conf, img_h)
+                    if nms_on_device:
+                        tail = row[base + n_stages_ :]
+                        cl_xywh = tail[: 4 * cap_last].reshape(cap_last, 4)
+                        cl_w = tail[4 * cap_last : 5 * cap_last]
+                        cl_keep = tail[5 * cap_last : 6 * cap_last] > 0.5
+                        boxes = np.stack(
+                            [
+                                cl_xywh[cl_keep, 0],
+                                cl_xywh[cl_keep, 1],
+                                cl_xywh[cl_keep, 0] + cl_xywh[cl_keep, 2],
+                                cl_xywh[cl_keep, 1] + cl_xywh[cl_keep, 3],
+                            ],
+                            axis=1,
+                        ).astype(np.float64)
+                        confidences = cl_w[cl_keep].astype(np.float64)
+                        if cf.get("vertically_enlarge_bboxes") and len(boxes):
+                            boxes = rect_ops.vertically_enlarge(boxes, enlarge_top=0.2)
+                    else:
+                        boxes, confidences = self._postprocess(
+                            raw_boxes, raw_conf, img_h
+                        )
                     results[i] = DetectionResult(
                         boxes=boxes,
                         confidences=confidences,

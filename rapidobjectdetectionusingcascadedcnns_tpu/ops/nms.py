@@ -100,8 +100,9 @@ def group_rectangles(
     # phase 2: drop a class if it sits inside a (sufficiently more supported)
     # other class, with tolerance 0.2 of its own dims (OpenCV groupRectangles)
     x1, y1, w1, h1 = cls_rects[:, 0], cls_rects[:, 1], cls_rects[:, 2], cls_rects[:, 3]
-    dx = (w1 * 0.2).astype(np.int64)
-    dy = (h1 * 0.2).astype(np.int64)
+    # tolerance uses the CONTAINER's dims with cvRound (OpenCV phase 2)
+    dx = _round_half_even(w1 * 0.2)
+    dy = _round_half_even(h1 * 0.2)
     # i inside j?
     inside = (
         (x1[:, None] >= x1[None, :] - dx[None, :])
@@ -147,10 +148,16 @@ def group_rectangles_jax(rects_xywh, valid_mask, min_neighbors: int, eps: float 
     )
 
     labels = jnp.where(valid_mask, jnp.arange(n), n)
+    # neighbor-min alone needs O(diameter) steps; adding pointer jumping
+    # (label <- label[label]) doubles the reach per iteration, so
+    # ceil(log2 N)+1 iterations always converge
     n_steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+    labels_ext = None
     for _ in range(n_steps):
         prop = jnp.where(adj, labels[None, :], n)
         labels = jnp.minimum(labels, prop.min(axis=1))
+        labels_ext = jnp.concatenate([labels, jnp.array([n])])  # slot for "n"
+        labels = jnp.minimum(labels, labels_ext[labels])
 
     # per-component sums/counts via one-hot matmul (MXU-friendly); HIGHEST
     # precision — coordinate sums must stay integer-exact in float32 (default
@@ -177,8 +184,8 @@ def group_rectangles_jax(rects_xywh, valid_mask, min_neighbors: int, eps: float 
         avg[:, 2].astype(jnp.float32),
         avg[:, 3].astype(jnp.float32),
     )
-    dx = jnp.floor(wa * 0.2)
-    dy = jnp.floor(ha * 0.2)
+    dx = jnp.rint(wa * 0.2)  # container dims, cvRound (OpenCV phase 2)
+    dy = jnp.rint(ha * 0.2)
     inside = (
         (xa[:, None] >= xa[None, :] - dx[None, :])
         & (ya[:, None] >= ya[None, :] - dy[None, :])

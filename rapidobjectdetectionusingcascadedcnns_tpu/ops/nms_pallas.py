@@ -65,12 +65,19 @@ def _cluster_kernel(rects_ref, valid_ref, avg_ref, counts_ref, labels_ref, adj_s
     init_labels = jnp.where(valid > 0, row_ids, float(n))
 
     n_steps = max(1, int(math.ceil(math.log2(max(n, 2)))) + 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
 
     def propagate(_, labels):
-        # each node adopts the minimum label among its neighbors:
-        # min over j of (adj[i, j] ? labels[j] : n)
+        # neighbor-min: min over j of (adj[i, j] ? labels[j] : n)
         candidate = jnp.where(adj_scratch[:] > 0, labels[None, :], float(n))
-        return jnp.minimum(labels, jnp.min(candidate, axis=1))
+        labels = jnp.minimum(labels, jnp.min(candidate, axis=1))
+        # pointer jumping (label <- label[label]) via one-hot select so the
+        # reach doubles per iteration (no per-lane gathers on TPU vectors)
+        is_target = labels[:, None] == col_ids
+        jumped = jnp.min(
+            jnp.where(is_target, labels[None, :], float(n)), axis=1
+        )
+        return jnp.minimum(labels, jumped)
 
     labels = jax.lax.fori_loop(0, n_steps, propagate, init_labels)
 

@@ -61,8 +61,9 @@ def _oracle_group(rects, min_neighbors, eps=0.2):
         for j, (r2, n2) in enumerate(classes):
             if i == j:
                 continue
-            dx = int(r1[2] * 0.2)
-            dy = int(r1[3] * 0.2)
+            # container dims with cvRound (OpenCV phase 2)
+            dx = int(np.rint(r2[2] * 0.2))
+            dy = int(np.rint(r2[3] * 0.2))
             if (
                 r1[0] >= r2[0] - dx
                 and r1[1] >= r2[1] - dy
