@@ -92,6 +92,17 @@ class TrainApp(BaseApp):
         self.trainer.train()
         self._finalize()
 
+    def _on_cancel(self):
+        """Save the latest state on user abort when configured
+        (app/train_app.py:157-175, config auto_save_on_abort)."""
+        super()._on_cancel()
+        if cf.get("auto_save_on_abort") and self.trainer is not None:
+            try:
+                self._finalize()
+                log.log("saved current work after abort")
+            except Exception as exc:
+                log.log("abort-save failed: {}".format(exc))
+
     def _finalize(self):
         val_eval, test_eval, train_eval = self.trainer.final_evaluation()
         self.final_results = {"valid": val_eval, "test": test_eval, "train": train_eval}

@@ -249,6 +249,7 @@ class SingleNetTrainer:
 
     def train(self) -> None:
         start_time = time.time()
+        summary_path = self._open_summary()
 
         interrupt_often = 100
         interrupt_sometimes = max(
@@ -299,6 +300,7 @@ class SingleNetTrainer:
                             step, self.iterations_total, loss_value
                         )
                     )
+                    self._write_summary(summary_path, step, loss_value)
 
                 if (
                     step % interrupt_sometimes == 0
@@ -338,6 +340,42 @@ class SingleNetTrainer:
                     break
 
         self.stop_training()
+
+    def _open_summary(self) -> str:
+        """Per-session training-scalars log (the reference records loss +
+        learning rate via TF summaries for TensorBoard,
+        net_trainable.py:146-151; here a JSONL scalar stream under the same
+        summary_dir)."""
+        import json
+
+        directory = cf.ensure_dir(
+            os.path.join(cf.get("summary_dir"), cf.get("session_key"))
+        )
+        path = os.path.join(directory, "scalars_net{}.jsonl".format(self.nr))
+        with open(path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "event": "start",
+                        "iterations_total": self.iterations_total,
+                        "main_criteria": self.main_criteria,
+                    }
+                )
+                + "\n"
+            )
+        return path
+
+    def _write_summary(self, path: str, step: int, loss_value: float) -> None:
+        import json
+
+        lr = float(
+            opt_mod.lr_schedule_from_config(self.iterations_total)(step)
+        )
+        with open(path, "a") as f:
+            f.write(
+                json.dumps({"step": step, "loss": loss_value, "learning_rate": lr})
+                + "\n"
+            )
 
     def _check_constant_prediction(self, res_val, n_const_predict) -> None:
         if (res_val["true_positives"] + res_val["false_positives"]) == 0:
