@@ -459,6 +459,7 @@ class CascadeDetector:
             raise ValueError("a cascade must consist of at least two nets")
         self.model = model
         self.mesh = mesh
+        self._saturation_warned = False
         self._capacity_override = capacity_schedule or cf.get(
             "cascade_capacity_schedule"
         )
@@ -673,15 +674,40 @@ class CascadeDetector:
                         boxes, confidences = self._postprocess(
                             raw_boxes, raw_conf, img_h
                         )
+                    survivors_int = [int(s) for s in survivors]
+                    self._warn_if_saturated(survivors_int, capacities)
                     results[i] = DetectionResult(
                         boxes=boxes,
                         confidences=confidences,
                         raw_boxes=raw_boxes,
                         raw_confidences=raw_conf,
                         n_windows=plan.n_windows,
-                        n_survivors_per_stage=[int(s) for s in survivors],
+                        n_survivors_per_stage=survivors_int,
                     )
         return results  # type: ignore[return-value]
+
+    def _warn_if_saturated(self, survivors, capacities) -> None:
+        """A survivor set that fills its fixed capacity means windows were
+        truncated by confidence ranking — with a weakly discriminating stage
+        (near-tied probabilities) real objects can be silently dropped. The
+        reference's unbounded survivor sets degrade in speed instead; surface
+        the condition so users retrain the stage or raise
+        cascade_capacity_schedule."""
+        if self._saturation_warned:
+            return
+        for i, cap in enumerate(capacities):
+            if survivors[i] >= cap:
+                from ..utils import log
+
+                log.log(
+                    "WARNING: cascade stage {} saturated its survivor capacity "
+                    "({} windows); excess windows were dropped by confidence "
+                    "ranking. A trained stage should reject most windows — "
+                    "consider retraining it (lower beta / more background) or "
+                    "setting cascade_capacity_schedule.".format(i, cap)
+                )
+                self._saturation_warned = True
+                return
 
     def _postprocess(self, boxes: np.ndarray, conf: np.ndarray, img_h: int):
         """NMS + optional vertical enlargement
