@@ -31,6 +31,9 @@ def main() -> None:
     from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
     from rapidobjectdetectionusingcascadedcnns_tpu.data import synthetic
     from rapidobjectdetectionusingcascadedcnns_tpu.models import cascade as casc
+    from rapidobjectdetectionusingcascadedcnns_tpu.utils import log as rodc_log
+
+    rodc_log.set_echo(False)  # stdout must carry exactly one JSON line
 
     # reference default architecture & pyramid density
     cf.set("conv_filter_sizes", [32])
