@@ -168,6 +168,30 @@ class Dataset:
     def image_shape(self):
         return self.images.shape[1:]
 
+    def log_stats(self) -> None:
+        """Class-distribution stats for the dataset and every split
+        (data/datasets.py:276-340)."""
+        from ..labels import IID_BACKGROUND, IID_FOREGROUND
+        from ..utils import log
+
+        log.log("Dataset stats{}:".format(" ({})".format(self.name) if self.name else ""))
+        groups = [
+            ("complete dataset", self.labels),
+            ("training split", self.train.labels),
+            ("validation split", self.valid.labels),
+            ("test split", self.test.labels),
+        ]
+        for name, labels in groups:
+            n_fg = int((labels == IID_FOREGROUND).sum())
+            n_bg = int((labels == IID_BACKGROUND).sum())
+            log.log(
+                "- {}: {} samples ({} foreground, {} background)".format(
+                    name, len(labels), n_fg, n_bg
+                )
+            )
+            if n_fg == 0 or n_bg == 0:
+                log.log("  WARNING: split contains fewer than two classes")
+
 
 class _BaseIterator:
     def __init__(self, split: DatasetSplit, batch_size=None):

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -138,3 +138,18 @@ def class_distribution_collage(
 def removed_samples_collage(images: Sequence[np.ndarray], name: str = "removed") -> str:
     """Sheet of samples removed by filtering (utils/collage.py:130)."""
     return save_collage(render_grid(images, 100), name)
+
+
+def partitioned_bundles_collage(
+    bundles: Dict[str, np.ndarray], name: str = "partitioned_bundles",
+    max_per_bundle: int = 49,
+) -> str:
+    """One grid per named data bundle, stacked (utils/collage.py:235)."""
+    panels = [render_grid(list(images), max_per_bundle) for images in bundles.values()]
+    width = max(p.shape[1] for p in panels)
+    rows = []
+    for p in panels:
+        padded = np.full((p.shape[0] + 8, width, 3), 255, np.uint8)
+        padded[4 : 4 + p.shape[0], : p.shape[1]] = p
+        rows.append(padded)
+    return save_collage(np.concatenate(rows, axis=0), name)

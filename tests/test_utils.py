@@ -86,3 +86,26 @@ class TestProfiling:
         profiling.log_summary()
         profiling.reset()
         assert profiling.summary() == {}
+
+
+class TestMoreCollages:
+    def test_partitioned_bundles(self, tmp_path, rng):
+        cf.set("project_extension_root", str(tmp_path))
+        bundles = {
+            "a": rng.randint(0, 255, (6, 8, 8, 3)).astype(np.uint8),
+            "b": rng.randint(0, 255, (4, 8, 8, 3)).astype(np.uint8),
+        }
+        assert os.path.exists(collage.partitioned_bundles_collage(bundles))
+
+
+class TestDatasetStats:
+    def test_log_stats_runs(self, rng):
+        from rapidobjectdetectionusingcascadedcnns_tpu.data import dataset as ds_mod
+        from rapidobjectdetectionusingcascadedcnns_tpu.data.preprocessor import (
+            Preprocessor,
+        )
+
+        images = rng.randint(0, 255, (40, 4, 4, 3)).astype(np.uint8)
+        labels = (np.arange(40) % 2).astype(np.int32)
+        ds = ds_mod.Dataset(images, labels, [0.8, 0.1, 0.1], Preprocessor(None, False))
+        ds.log_stats()  # must not raise
