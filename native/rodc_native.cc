@@ -130,10 +130,11 @@ int32_t rodc_group_rectangles(const double* rects_xywh, int32_t n,
       // (cv::groupRectangles phase 2 uses cvRound(r2.width * 0.2))
       int64_t dx = round_half_even(r2[2] * 0.2);
       int64_t dy = round_half_even(r2[3] * 0.2);
+      // OpenCV phase 2 condition: (n2 > max(3, n1) || n1 < 3)
       if (r1[0] >= r2[0] - dx && r1[1] >= r2[1] - dy &&
           r1[0] + r1[2] <= r2[0] + r2[2] + dx &&
           r1[1] + r1[3] <= r2[1] + r2[3] + dy &&
-          cand_w[j] > std::max<int64_t>(3, n1)) {
+          (cand_w[j] > std::max<int64_t>(3, n1) || n1 < 3)) {
         ok = false;
       }
     }

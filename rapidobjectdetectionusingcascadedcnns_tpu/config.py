@@ -87,6 +87,13 @@ def _build_defaults() -> Dict[str, Any]:
     # data-dependent Python filtering of the reference becomes masked
     # compaction on device). `None` => automatic heuristic from stage index.
     cf["cascade_capacity_schedule"] = None
+    # When a stage fills its survivor capacity (truncation would drop real
+    # windows), transparently re-run that image through a program variant
+    # with doubled capacities — bounded retries — so detections always match
+    # the reference's unbounded survivor sets
+    # (app/inference_cascade_app.py:217-240 semantics).
+    cf["cascade_saturation_redispatch"] = True
+    cf["cascade_saturation_max_retries"] = 4
     cf["inference_chunk_size"] = 16384  # windows per jitted stage-0 chunk
     cf["inference_batch_frames"] = 16  # same-size frames fused per device call
     cf["inference_high_precision"] = False  # f32-exact window resampling

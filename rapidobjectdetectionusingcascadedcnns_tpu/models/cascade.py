@@ -460,6 +460,7 @@ class CascadeDetector:
         self.model = model
         self.mesh = mesh
         self._saturation_warned = False
+        self._plan_cache: Dict[tuple, tuple] = {}
         self._capacity_override = capacity_schedule or cf.get(
             "cascade_capacity_schedule"
         )
@@ -487,22 +488,28 @@ class CascadeDetector:
         padded, n = mesh_mod.pad_to_multiple(stack, self.mesh.devices.size)
         return jax.device_put(padded, mesh_mod.batch_sharding(self.mesh)), n
 
-    # -- plan/table caching per image size ------------------------------
-    @functools.lru_cache(maxsize=128)
+    # -- plan/table caching per (image size, pyramid geometry) ----------
+    # A plain per-instance dict (NOT functools.lru_cache on the method: that
+    # would pin the detector for the process lifetime and silently ignore
+    # config changes to the pyramid geometry between detects — EvaluateFDDBApp
+    # mutates exactly these keys).
     def _plan_and_table(self, img_h: int, img_w: int):
         size0 = self.model.input_sizes[0]
-        plan = build_plan(
-            img_h,
-            img_w,
-            size0,
-            size0,
-            cf.get("min_window_length"),
-            cf.get("window_scale_factor"),
-        )
+        mwl = float(cf.get("min_window_length"))
+        wsf = float(cf.get("window_scale_factor"))
+        key = (img_h, img_w, size0, mwl, wsf)
+        cached = self._plan_cache.get(key)
+        if cached is not None:
+            return cached
+        plan = build_plan(img_h, img_w, size0, size0, mwl, wsf)
         table = window_table(plan)
         coords_norm = jnp.asarray(table["coords_norm"], dtype=jnp.int32)
         boxes_float = jnp.asarray(table["boxes_float"], dtype=jnp.float32)
-        return plan, table, coords_norm, boxes_float
+        entry = (plan, table, coords_norm, boxes_float)
+        if len(self._plan_cache) >= 128:
+            self._plan_cache.pop(next(iter(self._plan_cache)))
+        self._plan_cache[key] = entry
+        return entry
 
     def detect(self, image: np.ndarray) -> DetectionResult:
         """Run the full pyramid cascade on one (H, W, 3) uint8 image."""
@@ -589,8 +596,22 @@ class CascadeDetector:
             ) == cf.NMS_OPENCV
             nms_mn = int(cf.get("nms_opencv_min_neighbors")) if nms_on_device else -1
 
-            n_stages_ = self.model.n_nets
-            cap_last = capacities[-1] if capacities else plan.n_windows
+            def make_common(caps):
+                return (
+                    coords_norm,
+                    boxes_float,
+                    self._params_device,
+                    self._stats_device,
+                    plan,
+                    tuple(self.model.stage_configs),
+                    caps,
+                    mode,
+                    thresholds,
+                    bool(cf.get("inference_high_precision")),
+                    extraction_mode,
+                    int(cf.get("inference_chunk_size")),
+                    nms_mn,
+                )
 
             # bounded software pipeline: keep `depth` chunks in flight so the
             # next chunk's upload/compute overlaps the current fetch, without
@@ -600,21 +621,7 @@ class CascadeDetector:
             done = []
 
             def dispatch(chunk):
-                common = (
-                    coords_norm,
-                    boxes_float,
-                    self._params_device,
-                    self._stats_device,
-                    plan,
-                    tuple(self.model.stage_configs),
-                    capacities,
-                    mode,
-                    thresholds,
-                    bool(cf.get("inference_high_precision")),
-                    extraction_mode,
-                    int(cf.get("inference_chunk_size")),
-                    nms_mn,
-                )
+                common = make_common(capacities)
                 if yuv:
                     y_dev, _ = self._place_stack(
                         np.stack([images[i][0] for i in chunk])
@@ -644,70 +651,125 @@ class CascadeDetector:
 
             for chunk, packed in done:
                 for j, i in enumerate(chunk):
-                    row = packed[j]
-                    window_ids = row[:cap_last].astype(np.int64)
-                    conf = row[cap_last : 2 * cap_last]
-                    alive = row[2 * cap_last : 3 * cap_last] > 0.5
-                    base = 3 * cap_last
-                    survivors = row[base : base + n_stages_]
-                    keep_ids = window_ids[alive]
-                    raw_boxes = table["coords_norm"][keep_ids]
-                    raw_conf = conf[alive]
-                    if nms_on_device:
-                        tail = row[base + n_stages_ :]
-                        cl_xywh = tail[: 4 * cap_last].reshape(cap_last, 4)
-                        cl_w = tail[4 * cap_last : 5 * cap_last]
-                        cl_keep = tail[5 * cap_last : 6 * cap_last] > 0.5
-                        boxes = np.stack(
-                            [
-                                cl_xywh[cl_keep, 0],
-                                cl_xywh[cl_keep, 1],
-                                cl_xywh[cl_keep, 0] + cl_xywh[cl_keep, 2],
-                                cl_xywh[cl_keep, 1] + cl_xywh[cl_keep, 3],
-                            ],
-                            axis=1,
-                        ).astype(np.float64)
-                        confidences = cl_w[cl_keep].astype(np.float64)
-                        if cf.get("vertically_enlarge_bboxes") and len(boxes):
-                            boxes = rect_ops.vertically_enlarge(boxes, enlarge_top=0.2)
-                    else:
-                        boxes, confidences = self._postprocess(
-                            raw_boxes, raw_conf, img_h
-                        )
-                    survivors_int = [int(s) for s in survivors]
-                    self._warn_if_saturated(survivors_int, capacities)
-                    results[i] = DetectionResult(
-                        boxes=boxes,
-                        confidences=confidences,
-                        raw_boxes=raw_boxes,
-                        raw_confidences=raw_conf,
-                        n_windows=plan.n_windows,
-                        n_survivors_per_stage=survivors_int,
+                    result = self._unpack_row(
+                        packed[j], capacities, plan, table, nms_on_device, img_h
                     )
+                    if self._is_saturated(
+                        result.n_survivors_per_stage, capacities
+                    ):
+                        result = self._handle_saturation(
+                            images[i], yuv, result, capacities, plan, table,
+                            make_common, nms_on_device, img_h,
+                        )
+                    results[i] = result
         return results  # type: ignore[return-value]
 
-    def _warn_if_saturated(self, survivors, capacities) -> None:
-        """A survivor set that fills its fixed capacity means windows were
-        truncated by confidence ranking — with a weakly discriminating stage
-        (near-tied probabilities) real objects can be silently dropped. The
-        reference's unbounded survivor sets degrade in speed instead; surface
-        the condition so users retrain the stage or raise
-        cascade_capacity_schedule."""
-        if self._saturation_warned:
-            return
-        for i, cap in enumerate(capacities):
-            if survivors[i] >= cap:
-                from ..utils import log
+    def _unpack_row(
+        self, row, capacities, plan, table, nms_on_device, img_h
+    ) -> DetectionResult:
+        """Decode one image's packed result vector (see _pack_result)."""
+        n_stages = self.model.n_nets
+        cap_last = capacities[-1] if capacities else plan.n_windows
+        window_ids = row[:cap_last].astype(np.int64)
+        conf = row[cap_last : 2 * cap_last]
+        alive = row[2 * cap_last : 3 * cap_last] > 0.5
+        base = 3 * cap_last
+        survivors = [int(s) for s in row[base : base + n_stages]]
+        keep_ids = window_ids[alive]
+        raw_boxes = table["coords_norm"][keep_ids]
+        raw_conf = conf[alive]
+        if nms_on_device:
+            tail = row[base + n_stages :]
+            cl_xywh = tail[: 4 * cap_last].reshape(cap_last, 4)
+            cl_w = tail[4 * cap_last : 5 * cap_last]
+            cl_keep = tail[5 * cap_last : 6 * cap_last] > 0.5
+            boxes = np.stack(
+                [
+                    cl_xywh[cl_keep, 0],
+                    cl_xywh[cl_keep, 1],
+                    cl_xywh[cl_keep, 0] + cl_xywh[cl_keep, 2],
+                    cl_xywh[cl_keep, 1] + cl_xywh[cl_keep, 3],
+                ],
+                axis=1,
+            ).astype(np.float64)
+            confidences = cl_w[cl_keep].astype(np.float64)
+            if cf.get("vertically_enlarge_bboxes") and len(boxes):
+                boxes = rect_ops.vertically_enlarge(boxes, enlarge_top=0.2)
+        else:
+            boxes, confidences = self._postprocess(raw_boxes, raw_conf, img_h)
+        return DetectionResult(
+            boxes=boxes,
+            confidences=confidences,
+            raw_boxes=raw_boxes,
+            raw_confidences=raw_conf,
+            n_windows=plan.n_windows,
+            n_survivors_per_stage=survivors,
+        )
 
+    @staticmethod
+    def _is_saturated(survivors, capacities) -> bool:
+        """Truncation at compaction i happens exactly when the pre-compaction
+        alive count exceeds the capacity (``survivors[i] > capacities[i]``);
+        an exactly-filled buffer drops nothing. ``survivors[i]`` is counted
+        *before* the next compaction (models/cascade._cascade_core), so the
+        comparison is exact, not a heuristic."""
+        return any(s > c for s, c in zip(survivors, capacities))
+
+    def _handle_saturation(
+        self, frame, yuv, result, capacities, plan, table, make_common,
+        nms_on_device, img_h,
+    ) -> DetectionResult:
+        """Saturation recovery: re-run the image through a program variant
+        with doubled survivor capacities (bounded retries) so no detection is
+        lost to truncation — preserving the reference's unbounded-survivor
+        semantics (app/inference_cascade_app.py:217-240). Opt out with
+        cascade_saturation_redispatch=False (keeps the round-1
+        warn-and-truncate behavior)."""
+        from ..utils import log
+
+        if not cf.get("cascade_saturation_redispatch"):
+            if not self._saturation_warned:
                 log.log(
-                    "WARNING: cascade stage {} saturated its survivor capacity "
-                    "({} windows); excess windows were dropped by confidence "
-                    "ranking. A trained stage should reject most windows — "
-                    "consider retraining it (lower beta / more background) or "
-                    "setting cascade_capacity_schedule.".format(i, cap)
+                    "WARNING: a cascade stage saturated its survivor capacity; "
+                    "excess windows were dropped by confidence ranking "
+                    "(cascade_saturation_redispatch is off). Consider "
+                    "retraining the stage or raising cascade_capacity_schedule."
                 )
                 self._saturation_warned = True
-                return
+            return result
+
+        caps = list(capacities)
+        for _ in range(int(cf.get("cascade_saturation_max_retries"))):
+            # double every capacity, clamped by the window count that can
+            # actually reach the stage (so fully-open buffers stop growing)
+            new_caps, bound = [], plan.n_windows
+            for c in caps:
+                nc = min(bound, _round_up(c * 2, 128))
+                new_caps.append(nc)
+                bound = nc
+            if tuple(new_caps) == tuple(caps):
+                return result  # buffers already fully open; nothing dropped
+            caps = new_caps
+            log.log(
+                "WARNING: cascade stage saturated its survivor capacity; "
+                "re-dispatching with capacities {} (a trained stage should "
+                "reject most windows — consider retraining it or setting "
+                "cascade_capacity_schedule to avoid the retry cost).".format(caps)
+            )
+            common = make_common(tuple(caps))
+            if yuv:
+                y_dev, _ = self._place_stack(np.stack([frame[0]]))
+                uv_dev, _ = self._place_stack(np.stack([frame[1]]))
+                packed = _cascade_infer_device_batch_yuv(y_dev, uv_dev, *common)
+            else:
+                stack_dev, _ = self._place_stack(np.stack([frame]))
+                packed = _cascade_infer_device_batch(stack_dev, *common)
+            result = self._unpack_row(
+                np.asarray(packed)[0], tuple(caps), plan, table, nms_on_device, img_h
+            )
+            if not self._is_saturated(result.n_survivors_per_stage, caps):
+                return result
+        return result
 
     def _postprocess(self, boxes: np.ndarray, conf: np.ndarray, img_h: int):
         """NMS + optional vertical enlargement

@@ -12,8 +12,9 @@ clustering*, not score-sorted greedy NMS. Semantics reproduced here:
   3. Each class is averaged (``x * 1/n`` with round-half-to-even int cast)
      and rejected if its member count ``n <= min_neighbors``.
   4. A surviving class is also rejected if it lies inside another surviving
-     class with a sufficiently larger count (``n2 > max(3, n1)``) under a
-     small tolerance of 0.2 of its own size.
+     class and either the container has a sufficiently larger count
+     (``n2 > max(3, n1)``) or the contained class itself is weak
+     (``n1 < 3``), under a small tolerance of 0.2 of the container's size.
   5. Returned weight per kept class = member count (the reference uses this
      as the output confidence, app/inference_app.py:206-212).
 
@@ -111,7 +112,10 @@ def group_rectangles(
         & ((y1 + h1)[:, None] <= (y1 + h1)[None, :] + dy[None, :])
     )
     np.fill_diagonal(inside, False)
-    stronger = cls_weights[None, :] > np.maximum(3, cls_weights[:, None])
+    # OpenCV phase 2: reject i inside j when (n2 > max(3, n1) || n1 < 3)
+    stronger = (cls_weights[None, :] > np.maximum(3, cls_weights[:, None])) | (
+        cls_weights[:, None] < 3
+    )
     rejected = (inside & stronger).any(axis=1)
 
     return cls_rects[~rejected], cls_weights[~rejected]
@@ -195,7 +199,10 @@ def group_rectangles_jax(rects_xywh, valid_mask, min_neighbors: int, eps: float 
         & keep[None, :]
         & ~jnp.eye(n, dtype=bool)
     )
-    stronger = counts[None, :] > jnp.maximum(3.0, counts[:, None])
+    # OpenCV phase 2: reject i inside j when (n2 > max(3, n1) || n1 < 3)
+    stronger = (counts[None, :] > jnp.maximum(3.0, counts[:, None])) | (
+        counts[:, None] < 3.0
+    )
     rejected = jnp.any(inside & stronger, axis=1)
     keep = keep & ~rejected
 

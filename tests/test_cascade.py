@@ -107,6 +107,72 @@ def test_confidence_modes(small_cascade):
     ).all()
 
 
+def test_is_saturated_logic():
+    # stage-0 alive count exceeds the capacity -> windows were truncated
+    assert cascade.CascadeDetector._is_saturated([600, 10, 5], (512, 256))
+    # exactly filled buffer drops nothing
+    assert not cascade.CascadeDetector._is_saturated([512, 10, 5], (512, 256))
+    assert not cascade.CascadeDetector._is_saturated([1000, 10, 5], (1000, 256))
+    # stage-1 truncation
+    assert cascade.CascadeDetector._is_saturated([400, 300, 5], (512, 256))
+    assert not cascade.CascadeDetector._is_saturated([400, 256, 5], (512, 256))
+
+
+def test_saturation_redispatch_matches_unbounded(small_cascade):
+    """A degenerate stage 0 (threshold 0 => everything survives) saturates the
+    default capacities; re-dispatch must recover the same detection set as an
+    unbounded run (the reference's semantics,
+    app/inference_cascade_app.py:217-240)."""
+    cf.set("foreground_confidence_threshold", 0.0)
+    cf.set("nms", cf.NMS_OPENCV)
+    cf.set("nms_opencv_min_neighbors", 1)
+    scene = synthetic.make_scene(64, 64, n_faces=1, seed=21, min_face=30, max_face=40)
+
+    det = cascade.CascadeDetector(small_cascade)
+    res = det.detect(scene.image)
+    n_windows = res.n_windows
+    caps = cascade.default_capacity_schedule(n_windows, 3)
+    assert any(c < n_windows for c in caps), "fixture must actually saturate"
+
+    unbounded = cascade.CascadeDetector(
+        small_cascade, capacity_schedule=[n_windows, n_windows]
+    )
+    ref = unbounded.detect(scene.image)
+
+    assert sorted(map(tuple, res.boxes.tolist())) == sorted(
+        map(tuple, ref.boxes.tolist())
+    )
+    assert sorted(res.confidences.tolist()) == sorted(ref.confidences.tolist())
+    assert sorted(map(tuple, res.raw_boxes.tolist())) == sorted(
+        map(tuple, ref.raw_boxes.tolist())
+    )
+
+
+def test_saturation_redispatch_can_be_disabled(small_cascade):
+    cf.set("foreground_confidence_threshold", 0.0)
+    cf.set("nms", cf.NMS_DISABLED)
+    cf.set("cascade_saturation_redispatch", False)
+    scene = synthetic.make_scene(64, 64, n_faces=1, seed=23, min_face=30, max_face=40)
+    det = cascade.CascadeDetector(small_cascade)
+    res = det.detect(scene.image)
+    caps = cascade.default_capacity_schedule(res.n_windows, 3)
+    # truncation really happened: surviving raw set is capped
+    assert len(res.raw_boxes) <= caps[-1] < res.n_windows
+    assert det._saturation_warned
+
+
+def test_plan_cache_invalidates_on_config_change(small_cascade):
+    """Changing pyramid geometry between detects must take effect (the round-1
+    lru_cache snapshot bug): EvaluateFDDBApp mutates window_scale_factor."""
+    scene = synthetic.make_scene(64, 64, n_faces=1, seed=25, min_face=30, max_face=40)
+    det = cascade.CascadeDetector(small_cascade)
+    cf.set("window_scale_factor", 1.4)
+    coarse = det.detect(scene.image)
+    cf.set("window_scale_factor", 1.1)
+    dense = det.detect(scene.image)
+    assert dense.n_windows > coarse.n_windows
+
+
 def test_nms_groups_overlapping_detections(small_cascade):
     cf.set("foreground_confidence_threshold", 0.0)
     cf.set("nms", cf.NMS_OPENCV)
