@@ -1,11 +1,14 @@
-"""Runtime benchmark: cascade vs single net on the same image set.
+"""Runtime benchmark: cascade vs single net, per compute platform.
 
 Re-design of ``EvaluateRuntimeApp`` (app/evaluate_runtime_app.py:50-97). The
-reference compared GPU vs CPU; device selection in JAX is a process-level
-property, so this app benchmarks both detector families on the current
-backend and reports per-image averages. Images default to a synthetic
-sampled set (80 positive scenes / 20 background scenes), or a pos/neg sample
-of the configured disk corpus.
+reference compared {cascade, single} x {GPU, CPU}; the TPU-native analog is
+{cascade, single} x {accelerator backend, host CPU}: pass
+``compare_platforms=["tpu", "cpu"]`` and the app re-initializes the JAX
+backend per platform (utils/device.force_platform — unlike the reference's
+CpuGpuSwitcher, which could not switch after init) and benchmarks both
+families on each. Default (None) benchmarks on the current backend only.
+Images default to a synthetic sampled set (80 positive scenes /
+20 background scenes), or a pos/neg sample of the configured disk corpus.
 """
 
 from __future__ import annotations
@@ -31,6 +34,7 @@ class EvaluateRuntimeApp(BaseApp):
         images: Optional[Sequence[np.ndarray]] = None,
         cascade_model=None,
         single_detector=None,
+        compare_platforms: Optional[Sequence[str]] = None,
         run_now: bool = True,
     ):
         self.cascade_session_key = cascade_session_key
@@ -40,6 +44,7 @@ class EvaluateRuntimeApp(BaseApp):
         self._images = images
         self._cascade_model = cascade_model
         self._single_detector = single_detector
+        self.compare_platforms = list(compare_platforms or [])
         self.results: Dict[str, Dict[str, float]] = {}
         BaseApp.__init__(self, run_now)
 
@@ -81,24 +86,65 @@ class EvaluateRuntimeApp(BaseApp):
             )
         )
 
-    def _main(self):
-        self._images_cache = self._collect_images()
+    def _bench_families(self, suffix: str = "") -> None:
+        """Benchmark both detector families on the CURRENT backend."""
         cascade_app = InferenceCascadeApp(
             self.cascade_session_key, model=self._cascade_model
         )
-        self._bench("cascade", cascade_app)
+        self._bench("cascade" + suffix, cascade_app)
 
         if self._single_detector is not None:
+            from ..models.single import SingleNetDetector
+
+            sd = self._single_detector
+            # rebuild on the current backend (params normalized to host
+            # memory in _main when platform comparison is on)
+            detector = SingleNetDetector(sd.params, sd.stage_config,
+                                         np.asarray(sd.mean), np.asarray(sd.std))
             single_app = InferenceApp.__new__(InferenceApp)
             InferenceApp.__init__(single_app, self.single_session_key or "unused")
-            single_app._detector = self._single_detector
+            single_app._detector = detector
         else:
             single_app = InferenceApp(self.single_session_key)
-        self._bench("single", single_app)
+        self._bench("single" + suffix, single_app)
 
         speedup = (
-            self.results["single"]["avg_seconds_per_image"]
-            / self.results["cascade"]["avg_seconds_per_image"]
+            self.results["single" + suffix]["avg_seconds_per_image"]
+            / self.results["cascade" + suffix]["avg_seconds_per_image"]
         )
-        log.log("cascade speedup over single net: {:.2f}x".format(speedup))
-        self.results["speedup_cascade_vs_single"] = {"value": speedup}
+        log.log("cascade speedup over single net{}: {:.2f}x".format(suffix, speedup))
+        self.results["speedup_cascade_vs_single" + suffix] = {"value": speedup}
+
+    def _main(self):
+        self._images_cache = self._collect_images()
+        if not self.compare_platforms:
+            self._bench_families()
+            return
+
+        # platform comparison: model parameters must live in HOST memory so
+        # they survive backend re-initialization (force_platform clears all
+        # device buffers)
+        import jax
+
+        from ..utils import device
+
+        if self._cascade_model is not None:
+            self._cascade_model.stage_params = [
+                jax.tree_util.tree_map(np.asarray, p)
+                for p in self._cascade_model.stage_params
+            ]
+        if self._single_detector is not None:
+            self._single_detector.params = jax.tree_util.tree_map(
+                np.asarray, self._single_detector.params
+            )
+            self._single_detector.mean = np.asarray(self._single_detector.mean)
+            self._single_detector.std = np.asarray(self._single_detector.std)
+
+        original = device.current_platform()
+        try:
+            for platform in self.compare_platforms:
+                device.force_platform(platform)
+                self._bench_families("@" + platform)
+        finally:
+            if device.current_platform() != original:
+                device.force_platform(original)

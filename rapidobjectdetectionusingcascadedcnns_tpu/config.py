@@ -99,6 +99,9 @@ def _build_defaults() -> Dict[str, Any]:
     cf["inference_high_precision"] = False  # f32-exact window resampling
     cf["inference_pipeline_depth"] = 2  # frame chunks in flight per device
     cf["window_extraction_mode"] = "auto"  # auto | gather | crop
+    # window resampling backend: "auto" => fused Pallas kernel on real TPU
+    # (ops/windows_pallas.py), XLA einsums elsewhere / for high_precision
+    cf["use_pallas_resample"] = "auto"  # auto | pallas | xla
     cf["nms_on_device"] = False  # run groupRectangles inside the program
     cf["inference_resize_buckets"] = None  # [(h, w), ...] or None (exact)
     # FDDB corpora mix hundreds of image sizes; these buckets bound the

@@ -76,3 +76,118 @@ def write_fold_results(
     with open(path, "w") as f:
         f.write(format_fold_results(img_keys, boxes_per_img, confidences_per_img))
     return path
+
+
+def write_ellipse_ground_truth(
+    folds_dir: str,
+    fold_nr: int,
+    img_keys: Sequence[str],
+    ellipses_per_img: Sequence[np.ndarray],
+) -> str:
+    """Official FDDB ellipse ground-truth file for one fold:
+
+        <image key>
+        <n faces>
+        <major_axis_radius minor_axis_radius angle center_x center_y 1>*
+
+    (the format the official Perl evaluator consumes next to the fold's
+    detection output)."""
+    os.makedirs(folds_dir, exist_ok=True)
+    path = os.path.join(
+        folds_dir, "FDDB-fold-{:02d}-ellipseList.txt".format(fold_nr)
+    )
+    lines: List[str] = []
+    for key, ellipses in zip(img_keys, ellipses_per_img):
+        lines.append(key)
+        lines.append(str(len(ellipses)))
+        for e in ellipses:
+            lines.append("{} {} {} {} {} 1".format(*[float(v) for v in e[:5]]))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
+def boxes_to_ellipses(boxes: np.ndarray) -> np.ndarray:
+    """Face boxes (xyxy) -> FDDB-style ellipses
+    (major_r, minor_r, angle, cx, cy); the inverse of the detector's
+    vertical-enlargement convention (reference rectangles.py:186-220:
+    boxes sit below the chin, ellipses extend above)."""
+    boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
+    w = boxes[:, 2] - boxes[:, 0]
+    h = boxes[:, 3] - boxes[:, 1]
+    cx = boxes[:, 0] + w / 2
+    cy = boxes[:, 1] + h / 2
+    return np.stack([h / 2 * 1.2, w / 2, np.zeros_like(w), cx, cy], axis=1)
+
+
+def make_synthetic_corpus(
+    base_dir: str,
+    n_folds: int = 10,
+    imgs_per_fold: int = 2,
+    seed: int = 0,
+    sizes: Sequence = ((240, 320), (200, 280), (320, 240)),
+):
+    """Build a complete FDDB-format synthetic corpus: <base>/images/... JPEGs
+    with faces, <base>/folds/FDDB-fold-XX.txt + ellipse ground truth.
+
+    Stands in for the real FDDB data (absent from this environment) so the
+    full 10-fold harness — fold parsing, dense-pyramid detection, official
+    detection-format export, evaluator hand-off — runs end-to-end
+    (tests/test_fddb_harness.py, tools/fddb_bucketing_delta.py).
+    Returns (img_base_dir, folds_dir, ground_truth dict key -> boxes).
+    """
+    from PIL import Image
+
+    from .synthetic import make_scene
+
+    img_base = os.path.join(base_dir, "images")
+    folds_dir = os.path.join(base_dir, "folds")
+    os.makedirs(folds_dir, exist_ok=True)
+    rng_seed = seed
+    truth = {}
+    for fold_nr in range(1, n_folds + 1):
+        keys, ellipses = [], []
+        for i in range(imgs_per_fold):
+            h, w = sizes[(fold_nr + i) % len(sizes)]
+            scene = make_scene(
+                h, w, n_faces=1 + (i % 2), seed=rng_seed, min_face=48, max_face=100
+            )
+            rng_seed += 1
+            key = "2002/{:02d}/img_{}".format(fold_nr, i)
+            path = os.path.join(img_base, key + ".jpg")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            Image.fromarray(scene.image).save(path, quality=95)
+            keys.append(key)
+            ellipses.append(boxes_to_ellipses(scene.boxes))
+            truth[key] = scene.boxes
+        with open(os.path.join(folds_dir, "FDDB-fold-{:02d}.txt".format(fold_nr)), "w") as f:
+            f.write("\n".join(keys) + "\n")
+        write_ellipse_ground_truth(folds_dir, fold_nr, keys, ellipses)
+    return img_base, folds_dir, truth
+
+
+def parse_fold_results(path: str):
+    """Parse an exported fold detection file back into
+    [(key, boxes (N, 4) xywh, scores (N,))]. Round-trips
+    :func:`format_fold_results`; used to validate the export is byte-level
+    parseable per the official spec."""
+    out = []
+    with open(path) as f:
+        lines = [l.rstrip("\n") for l in f]
+    i = 0
+    while i < len(lines):
+        if not lines[i].strip():
+            i += 1
+            continue
+        key = lines[i]
+        n = int(lines[i + 1])
+        boxes, scores = [], []
+        for j in range(n):
+            parts = lines[i + 2 + j].split()
+            assert len(parts) == 5, parts
+            x, y, w, h, s = [float(p) for p in parts]
+            boxes.append((x, y, w, h))
+            scores.append(s)
+        out.append((key, np.asarray(boxes).reshape(-1, 4), np.asarray(scores)))
+        i += 2 + n
+    return out

@@ -37,7 +37,7 @@ from .. import config as cf
 from ..ops import nms as nms_ops
 from ..ops import rectangles as rect_ops
 from ..ops.pyramid import PyramidPlan, build_plan, window_table
-from ..ops.windows import crop_and_resize, extract_windows
+from ..ops.windows import crop_and_resize_impl, extract_windows
 from . import cnn
 
 
@@ -78,18 +78,20 @@ def _round_up(x: int, m: int) -> int:
 def default_capacity_schedule(n_windows: int, n_stages: int) -> List[int]:
     """Fixed survivor capacities after each non-final stage.
 
-    Early stages of a working cascade reject the vast majority of windows
-    (that is their entire purpose); 1/2 then /4 per stage are generous
-    ceilings that keep behavior equal to the reference's unbounded survivor
-    sets for any usefully-trained stage-0 net, while bounding the cost of a
-    degenerate one. When survivors do exceed the ceiling, the
-    highest-confidence windows are kept (compaction sorts by (alive, prob)).
-    Floors keep tiny pyramids functional; multiples of 128 keep buffers
-    lane-aligned for the TPU.
+    Sized for *trained* cascades: a working stage 0 rejects the vast
+    majority of windows (measured 1-5% survivors on the synthetic corpus;
+    the reference's design intent, README.md:69), so 1/8 then /4 per stage
+    leaves 2-10x headroom while keeping the per-stage crop+CNN cost
+    proportional to real survivor counts. The schedule is SAFE to undershoot:
+    saturation re-dispatch (CascadeDetector._handle_saturation) transparently
+    re-runs an image with doubled capacities, so detections always equal the
+    reference's unbounded survivor sets; a degenerate untrained stage only
+    pays retry compiles and a warning. Floors keep tiny pyramids functional;
+    multiples of 128 keep buffers lane-aligned for the TPU.
     """
     caps = []
     for i in range(1, n_stages):
-        frac = n_windows // (2 * 4 ** (i - 1))
+        frac = n_windows // (8 * 4 ** (i - 1))
         caps.append(min(n_windows, _round_up(max(256, frac), 128)))
     return caps
 
@@ -102,6 +104,25 @@ def resolve_extraction_mode(plan: PyramidPlan) -> str:
     if configured in ("gather", "crop"):
         return configured
     return "crop" if plan.n_scales > 48 else "gather"
+
+
+def resolve_resample_impl() -> str:
+    """'pallas' (fused VMEM-resident window-resampling kernel,
+    ops/windows_pallas.py) on real TPU backends, 'xla' (interpolation-matrix
+    einsums) elsewhere; `use_pallas_resample` forces either. Resolved on the
+    host per dispatch and threaded as a static jit argument so a config flip
+    is never baked into a cached executable."""
+    configured = cf.get("use_pallas_resample")
+    if configured in ("pallas", "xla"):
+        return configured
+    if configured is True:
+        return "pallas"
+    if configured is False:
+        return "xla"
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    except Exception:  # pragma: no cover - backend probing
+        return "xla"
 
 
 def resolve_thresholds(n_stages: int) -> List[float]:
@@ -125,6 +146,7 @@ def _apply_stage_on_boxes_chunked(
     std: jnp.ndarray,
     chunk: int,
     high_precision: bool,
+    resample_impl: str = "xla",
 ):
     """Fused crop_and_resize + stage CNN over window chunks.
 
@@ -135,8 +157,8 @@ def _apply_stage_on_boxes_chunked(
     size = stage_cfg.input_size
     n = boxes.shape[0]
     if n <= chunk:
-        wins = crop_and_resize(
-            image_f, boxes, out_h=size, out_w=size, high_precision=high_precision
+        wins = crop_and_resize_impl(
+            image_f, boxes, size, size, True, high_precision, resample_impl
         )
         out = cnn.apply_stage(params, stage_cfg, (wins - mean) / std, bneck_in)
         return out["probs"], out["bottleneck"]
@@ -155,12 +177,8 @@ def _apply_stage_on_boxes_chunked(
 
     def one(args):
         chunk_boxes, chunk_bneck = args
-        wins = crop_and_resize(
-            image_f,
-            chunk_boxes,
-            out_h=size,
-            out_w=size,
-            high_precision=high_precision,
+        wins = crop_and_resize_impl(
+            image_f, chunk_boxes, size, size, True, high_precision, resample_impl
         )
         x = (wins - mean) / std
         bn = chunk_bneck if bneck_in is not None else None
@@ -189,6 +207,7 @@ def _cascade_core(
     extraction_mode: str = "gather",
     chunk: int = 16384,
     nms_min_neighbors: int = -1,
+    resample_impl: str = "xla",
 ):
     """Full-cascade single-image inference (traceable core).
 
@@ -220,6 +239,7 @@ def _cascade_core(
             std0,
             chunk,
             high_precision,
+            resample_impl,
         )
         n_windows0 = boxes_float.shape[0]
     else:
@@ -267,6 +287,7 @@ def _cascade_core(
             std_i,
             chunk,
             high_precision,
+            resample_impl,
         )
         p_i = probs_i[:, 1]
         stage_alive = p_i > thresholds[i]
@@ -348,18 +369,19 @@ def _pack_result(window_ids, conf, alive, survivors, *nms_tail):
         "extraction_mode",
         "chunk",
         "nms_min_neighbors",
+        "resample_impl",
     ),
 )
 def _cascade_infer_device(image, coords_norm, boxes_float, stage_params,
                           stage_stats, plan, stage_configs, capacities,
                           confidence_mode, thresholds, high_precision=False,
                           extraction_mode="gather", chunk=16384,
-                          nms_min_neighbors=-1):
+                          nms_min_neighbors=-1, resample_impl="xla"):
     """Single-image jitted cascade program (kept for the graft entry point)."""
     return _cascade_core(
         image, coords_norm, boxes_float, stage_params, stage_stats, plan,
         stage_configs, capacities, confidence_mode, thresholds, high_precision,
-        extraction_mode, chunk, nms_min_neighbors,
+        extraction_mode, chunk, nms_min_neighbors, resample_impl,
     )
 
 
@@ -375,13 +397,14 @@ def _cascade_infer_device(image, coords_norm, boxes_float, stage_params,
         "extraction_mode",
         "chunk",
         "nms_min_neighbors",
+        "resample_impl",
     ),
 )
 def _cascade_infer_device_batch(images, coords_norm, boxes_float, stage_params,
                                 stage_stats, plan, stage_configs, capacities,
                                 confidence_mode, thresholds, high_precision=False,
                                 extraction_mode="gather", chunk=16384,
-                                nms_min_neighbors=-1):
+                                nms_min_neighbors=-1, resample_impl="xla"):
     """Batched cascade program: (B, H, W, C) images -> one packed float32
     (B, 3*C_last + n_stages) result array in ONE device round-trip.
 
@@ -398,6 +421,7 @@ def _cascade_infer_device_batch(images, coords_norm, boxes_float, stage_params,
             image, coords_norm, boxes_float, stage_params, stage_stats, plan,
             stage_configs, capacities, confidence_mode, thresholds,
             high_precision, extraction_mode, chunk, nms_min_neighbors,
+            resample_impl,
         )
         return _pack_result(*out)
 
@@ -416,13 +440,15 @@ def _cascade_infer_device_batch(images, coords_norm, boxes_float, stage_params,
         "extraction_mode",
         "chunk",
         "nms_min_neighbors",
+        "resample_impl",
     ),
 )
 def _cascade_infer_device_batch_yuv(y_planes, uv_planes, coords_norm, boxes_float,
                                     stage_params, stage_stats, plan, stage_configs,
                                     capacities, confidence_mode, thresholds,
                                     high_precision=False, extraction_mode="gather",
-                                    chunk=16384, nms_min_neighbors=-1):
+                                    chunk=16384, nms_min_neighbors=-1,
+                                    resample_impl="xla"):
     """Batched cascade over YUV420 frames: (B, H, W) Y + (B, H/2, W/2, 2) UV
     uint8 -> same packed result as the RGB program. Half the ingress bytes of
     RGB24 (see ops/color.py); conversion fuses into the program."""
@@ -435,6 +461,7 @@ def _cascade_infer_device_batch_yuv(y_planes, uv_planes, coords_norm, boxes_floa
             image, coords_norm, boxes_float, stage_params, stage_stats, plan,
             stage_configs, capacities, confidence_mode, thresholds,
             high_precision, extraction_mode, chunk, nms_min_neighbors,
+            resample_impl,
         )
         return _pack_result(*out)
 
@@ -611,6 +638,7 @@ class CascadeDetector:
                     extraction_mode,
                     int(cf.get("inference_chunk_size")),
                     nms_mn,
+                    resolve_resample_impl(),
                 )
 
             # bounded software pipeline: keep `depth` chunks in flight so the

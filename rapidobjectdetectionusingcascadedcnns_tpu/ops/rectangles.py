@@ -77,6 +77,12 @@ def iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return iou(a[:, None, :], b[None, :, :])
 
 
+def iou_single(a, b) -> float:
+    """Scalar IoU of two xyxy boxes, clamped at 0 for disjoint boxes (the
+    +1 inclusive convention can go negative on them)."""
+    return max(float(iou(np.asarray(a), np.asarray(b))), 0.0)
+
+
 def vertically_enlarge(
     rects: np.ndarray,
     enlarge_top: float | None = 0.2,

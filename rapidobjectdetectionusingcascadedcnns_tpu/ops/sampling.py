@@ -97,3 +97,95 @@ def sample_image(
         except (PotentialDeadlockError, ValueError):
             break
     return foreground, background
+
+
+def make_haar_face_detector(cascade_xml_path: Optional[str] = None):
+    """Viola-Jones face detector used to keep unannotated faces out of the
+    background pool (reference run_sampling.py:60-67,114-122). Returns a
+    ``image -> (K, 4) xyxy boxes`` callable, or None when this cv2 build has
+    no objdetect module (annotations-only fallback)."""
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover - cv2 always present in CI image
+        return None
+    if not hasattr(cv2, "CascadeClassifier"):
+        return None
+    path = cascade_xml_path or "opencv_data/haarcascade_frontalface_default.xml"
+    classifier = cv2.CascadeClassifier(path)
+
+    def detect(img: np.ndarray) -> np.ndarray:
+        gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        # deliberately recall-heavy settings: false positives only shrink the
+        # background pool, false negatives poison it (run_sampling.py:60-63)
+        faces = classifier.detectMultiScale(
+            gray, 1.1, cf.get("nms_opencv_min_neighbors")
+        )
+        if len(faces) == 0:
+            return np.zeros((0, 4), np.float64)
+        faces = np.asarray(faces, np.float64)
+        return np.stack(
+            [faces[:, 0], faces[:, 1], faces[:, 0] + faces[:, 2], faces[:, 1] + faces[:, 3]],
+            axis=1,
+        )
+
+    return detect
+
+
+def sample_image_reference(
+    img: np.ndarray,
+    annotation_boxes: np.ndarray,
+    is_foreground: bool,
+    min_patch_size: int,
+    rng: np.random.RandomState,
+    detected_boxes: Optional[np.ndarray] = None,
+) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """One native image's offline samples with the reference's exact flow
+    (run_sampling.py:81-137):
+
+      * every valid annotation box is cropped as a sample carrying the
+        image's label (foreground crops for foreground images);
+      * annotation boxes restrict background sampling only on FOREGROUND
+        images; externally detected faces (``detected_boxes``, the Haar
+        detector) always restrict but are never emitted as samples;
+      * background patches are sampled from background images
+        unconditionally and from foreground images only when restrictions
+        exist, topping the image's sample count up to ``sampling_multiplier``
+        (annotation crops count toward the quota), stopping at the first
+        rejection-sampling deadlock.
+
+    Returns (annotation_crops, background_patches).
+    """
+    h, w = img.shape[0], img.shape[1]
+    crops: List[np.ndarray] = []
+    restricted: List[np.ndarray] = []
+    for box in np.asarray(annotation_boxes).reshape(-1, 4):
+        x0, y0, x1, y1 = [int(v) for v in box]
+        x0c, y0c = max(0, x0), max(0, y0)
+        x1c, y1c = min(w, x1), min(h, y1)
+        if x1c > x0c and y1c > y0c:
+            crops.append(img[y0c:y1c, x0c:x1c])
+        if is_foreground:
+            restricted.append(
+                rect_ops.restricted_area(box, img_width=w, img_height=h)
+            )
+    if detected_boxes is not None:
+        for box in np.asarray(detected_boxes, np.float64).reshape(-1, 4):
+            restricted.append(
+                rect_ops.restricted_area(box, img_width=w, img_height=h)
+            )
+    restricted_arr = (
+        np.stack(restricted) if restricted else np.zeros((0, 4), np.float64)
+    )
+
+    background: List[np.ndarray] = []
+    if not is_foreground or len(restricted):
+        max_iou = cf.get("sampling_background_max_iou_with_foreground")
+        while len(crops) + len(background) < cf.get("sampling_multiplier"):
+            try:
+                patch, _box = random_img_patch(
+                    img, restricted_arr, max_iou, min_patch_size, rng
+                )
+                background.append(patch)
+            except (PotentialDeadlockError, ValueError):
+                break
+    return crops, background

@@ -221,6 +221,29 @@ def crop_and_resize(
     return _crop_and_resize_core(image, boxes, out_h, out_w, quantize, high_precision)
 
 
+def crop_and_resize_impl(
+    image: jnp.ndarray,
+    boxes: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    quantize: bool,
+    high_precision: bool,
+    resample_impl: str,
+) -> jnp.ndarray:
+    """Traceable dispatch between the XLA interpolation-matrix formulation
+    and the fused Pallas kernel (ops/windows_pallas.py). ``resample_impl`` is
+    threaded as a *static* argument from the host orchestration (never read
+    from config inside a trace — a config flip must not be baked into a
+    cached executable)."""
+    if resample_impl == "pallas" and not high_precision:
+        from .windows_pallas import crop_and_resize_pallas
+
+        return crop_and_resize_pallas(
+            image, boxes, out_h=out_h, out_w=out_w, quantize=quantize
+        )
+    return _crop_and_resize_core(image, boxes, out_h, out_w, quantize, high_precision)
+
+
 def crop_windows_chunked(
     image: jnp.ndarray,
     boxes: jnp.ndarray,

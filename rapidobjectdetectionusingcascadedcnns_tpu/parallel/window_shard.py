@@ -1,0 +1,236 @@
+"""Cross-chip window-axis sharding for ONE image's cascade.
+
+The reference is single-device (utils/cpu_gpu_switcher.py:14-17). The
+frame-axis sharding in :mod:`.mesh` scales multi-stream serving; THIS module
+scales single-image latency: one dense pyramid's window batch is sharded over
+the mesh (SURVEY.md §2.6 item 2 — the workload's analog of sequence
+parallelism, SURVEY.md §5), which pays exactly for FDDB-density images
+(window_scale_factor 1.005 => ~130k windows per 450x450 image).
+
+Design:
+  * stage-0 window scoring (crop+CNN over the dense window set) runs under
+    ``shard_map`` with the window axis partitioned over ``"data"`` — each
+    chip scores n_windows/D windows against the replicated image/params;
+  * the per-window results (foreground prob, bottleneck) come back sharded;
+    the compaction argsort is a *global* operation, so XLA inserts the
+    all-gather of the surviving (prob, bottleneck) tuples when the jitted
+    program consumes them replicated — the collective the SURVEY promised;
+  * each later stage re-shards its fixed-capacity survivor buffer (capacities
+    are 128-multiples, so they divide any power-of-two mesh) and repeats.
+
+Per-window math is independent of its neighbors, so shard-local shapes do
+not change any window's result: detections are BIT-IDENTICAL to the
+single-device program in crop extraction mode (the sharded program samples
+stage-0 windows with the chunked crop kernel — the mode dense pyramids use
+anyway; asserted in tests/test_window_shard.py on an 8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map as _shard_map_impl
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map_impl(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from .. import config as cf_mod
+from ..models import cnn
+from ..models.cascade import _apply_stage_on_boxes_chunked
+from ..ops import nms as nms_ops
+from ..ops.pyramid import PyramidPlan
+from .mesh import DATA_AXIS
+
+
+def _pad_len(n: int, d: int) -> int:
+    return ((n + d - 1) // d) * d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "plan",
+        "stage_configs",
+        "capacities",
+        "confidence_mode",
+        "thresholds",
+        "mesh",
+        "chunk",
+        "resample_impl",
+    ),
+)
+def cascade_infer_window_sharded(
+    image,
+    coords_norm,  # (N0, 4) int32
+    boxes_float,  # (N0, 4) float32
+    stage_params,
+    stage_stats,
+    plan: PyramidPlan,
+    stage_configs: Tuple[cnn.StageConfig, ...],
+    capacities: Tuple[int, ...],
+    confidence_mode: str,
+    thresholds: Tuple[float, ...],
+    mesh: Mesh,
+    chunk: int = 16384,
+    resample_impl: str = "xla",
+):
+    """Single-image cascade with the WINDOW axis sharded over ``mesh``.
+
+    Returns the same (window_ids, conf, alive, survivors) tuple as
+    ``models.cascade._cascade_core`` (host decodes it identically).
+    """
+    n_stages = len(stage_configs)
+    n_dev = mesh.devices.size
+    image_f = image.astype(jnp.float32)
+    n0 = boxes_float.shape[0]
+    n0_pad = _pad_len(n0, n_dev)
+
+    boxes_p = jnp.concatenate(
+        [boxes_float, jnp.broadcast_to(boxes_float[-1:], (n0_pad - n0, 4))]
+    )
+    valid0 = jnp.arange(n0_pad) < n0
+
+    mean0, std0 = stage_stats[0]
+
+    def _stage_local(stage_idx, boxes_local, bneck_local):
+        """Score a window shard: runs unchanged per-window math on 1/D of
+        the batch (the image and parameters are replicated)."""
+        bneck_in = (
+            bneck_local
+            if stage_configs[stage_idx].bottleneck_in_size is not None
+            else None
+        )
+        probs, bneck_out = _apply_stage_on_boxes_chunked(
+            image_f,
+            boxes_local,
+            bneck_in,
+            stage_params[stage_idx],
+            stage_configs[stage_idx],
+            stage_stats[stage_idx][0],
+            stage_stats[stage_idx][1],
+            chunk,
+            False,
+            resample_impl,
+        )
+        return probs, bneck_out
+
+    # ---- stage 0: windows sharded over chips ----
+    stage0 = shard_map(
+        functools.partial(_stage_local, 0),
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P()),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        check_rep=False,
+    )
+    probs0, bottleneck = stage0(boxes_p, jnp.zeros((1, 1), jnp.float32))
+    p_fg = probs0[:, 1]
+    alive = (p_fg > thresholds[0]) & valid0
+    conf = p_fg
+    window_ids = jnp.arange(n0_pad, dtype=jnp.int32)
+    survivors = [jnp.sum(alive.astype(jnp.int32))]
+
+    for i in range(1, n_stages):
+        cap = _pad_len(capacities[i - 1], n_dev)
+        # global compaction: consuming the sharded (prob, bottleneck) arrays
+        # replicated here makes XLA all-gather the survivor tuples over ICI
+        order = jnp.argsort(-(alive.astype(jnp.float32) * (1.0 + p_fg)))
+        keep = order[:cap]
+        alive = alive[keep]
+        conf = conf[keep]
+        p_fg = p_fg[keep]
+        window_ids = window_ids[keep]
+        bottleneck = bottleneck[keep]
+
+        boxes_i = coords_norm[jnp.minimum(window_ids, n0 - 1)].astype(jnp.float32)
+        stage_i = shard_map(
+            functools.partial(_stage_local, i),
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+            check_rep=False,
+        )
+        probs_i, bottleneck = stage_i(boxes_i, bottleneck)
+        p_i = probs_i[:, 1]
+        alive = alive & (p_i > thresholds[i])
+
+        if confidence_mode == cf_mod.FINAL_CONFIDENCE_CALCULATION_AVG:
+            conf = conf + p_i
+        elif confidence_mode == cf_mod.FINAL_CONFIDENCE_CALCULATION_MULT:
+            conf = conf * p_i
+        else:
+            conf = p_i
+        p_fg = p_i
+        survivors.append(jnp.sum(alive.astype(jnp.int32)))
+
+    if confidence_mode == cf_mod.FINAL_CONFIDENCE_CALCULATION_AVG:
+        conf = conf / n_stages
+    elif confidence_mode == cf_mod.FINAL_CONFIDENCE_CALCULATION_MULT:
+        conf = jnp.maximum(
+            conf, cf_mod.MIN_SCORE_FOR_FINAL_CONFIDENCE_CALCULATION_MULT
+        )
+
+    return window_ids, conf, alive, jnp.stack(survivors)
+
+
+def detect_window_sharded(detector, image, mesh: Mesh):
+    """Host orchestration: run ``detector``'s model on one image with the
+    window axis sharded over ``mesh``; returns a DetectionResult identical to
+    ``detector.detect(image)`` (single-device path)."""
+    import numpy as np
+
+    from ..models import cascade as casc
+
+    img_h, img_w = image.shape[0], image.shape[1]
+    plan, table, coords_norm, boxes_float = detector._plan_and_table(img_h, img_w)
+    n_stages = detector.model.n_nets
+    capacities = tuple(
+        detector._capacity_override
+        or casc.default_capacity_schedule(plan.n_windows, n_stages)
+    )
+    thresholds = tuple(casc.resolve_thresholds(n_stages))
+    mode = cf_mod.get("final_confidence_calculation")
+
+    window_ids, conf, alive, survivors = cascade_infer_window_sharded(
+        jnp.asarray(image),
+        coords_norm,
+        boxes_float,
+        detector._params_device,
+        detector._stats_device,
+        plan,
+        tuple(detector.model.stage_configs),
+        capacities,
+        mode,
+        thresholds,
+        mesh,
+        int(cf_mod.get("inference_chunk_size")),
+        casc.resolve_resample_impl(),
+    )
+    window_ids = np.asarray(window_ids)
+    conf = np.asarray(conf)
+    alive = np.asarray(alive)
+    survivors_int = [int(s) for s in np.asarray(survivors)]
+
+    keep_ids = window_ids[alive]
+    raw_boxes = table["coords_norm"][keep_ids]
+    raw_conf = conf[alive]
+    boxes, confidences = detector._postprocess(raw_boxes, raw_conf, img_h)
+    return casc.DetectionResult(
+        boxes=boxes,
+        confidences=confidences,
+        raw_boxes=raw_boxes,
+        raw_confidences=raw_conf,
+        n_windows=plan.n_windows,
+        n_survivors_per_stage=survivors_int,
+    )

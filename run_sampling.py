@@ -15,7 +15,15 @@ from rapidobjectdetectionusingcascadedcnns_tpu.ops import sampling
 from rapidobjectdetectionusingcascadedcnns_tpu.utils import log
 
 
-def main():
+def main(face_detector=None):
+    """Offline sampling over the native corpus (reference run_sampling.py).
+
+    ``face_detector``: optional ``image -> (K, 4) xyxy`` callable restricting
+    background sampling around unannotated faces. Defaults to the OpenCV
+    Viola-Jones detector when this cv2 build has objdetect
+    (reference run_sampling.py:60-67,114-122); falls back to
+    annotations-only restrictions otherwise.
+    """
     from PIL import Image
 
     cf.set("dataset_path_root", cf.get("dataset_native_path_root"))
@@ -24,35 +32,52 @@ def main():
     rng = np.random.RandomState(cf.get("seed"))
     out_root = cf.ensure_dir("dataset_presampled_path_root")
     min_patch = cf.get("img_width")
-    n_fg = n_bg = 0
+    n_crops = n_bg = 0
+
+    if face_detector is None and cf.get("foreground_equals_face"):
+        face_detector = sampling.make_haar_face_detector()
+        if face_detector is None:
+            log.log(
+                "cv2 objdetect unavailable: background sampling restricted by "
+                "annotations only (reference additionally restricts "
+                "Viola-Jones detections, run_sampling.py:114-122)"
+            )
+        else:
+            log.log("background patches overlapping detected faces are rejected")
 
     for info in loader.image_infos:
         anns = ann_mod.get_annotations(info.path_original, info.dataset_key)
         boxes = np.stack([a.bbox for a in anns]) if anns else np.zeros((0, 4))
-        if info.label.iid != IID_FOREGROUND and len(boxes) == 0:
-            # plain background image: copy-through directory layout
-            continue
         try:
             img = info.raw_original()
         except Exception as exc:
             log.log(" .. Skipped {}: {}".format(info.path_original, exc))
             continue
-        fg, bg = sampling.sample_image(img, boxes, min_patch, rng)
+        detected = face_detector(img) if face_detector is not None else None
+        is_foreground = info.label.iid == IID_FOREGROUND
+        crops, bg = sampling.sample_image_reference(
+            img, boxes, is_foreground, min_patch, rng, detected_boxes=detected
+        )
         base = os.path.splitext(info.basename)[0]
-        fg_dir = cf.ensure_dir(os.path.join(out_root, info.dataset_key, "foreground"))
+        # annotation crops carry the IMAGE's label; sampled patches are
+        # always background (reference run_sampling.py:96-108,127-137)
+        crop_label = "foreground" if is_foreground else "background"
+        crop_dir = cf.ensure_dir(os.path.join(out_root, info.dataset_key, crop_label))
         bg_dir = cf.ensure_dir(os.path.join(out_root, info.dataset_key, "background"))
-        for k, patch in enumerate(fg):
+        for k, patch in enumerate(crops):
             Image.fromarray(patch).save(
-                os.path.join(fg_dir, "aug_{}_{}.png".format(base, k))
+                os.path.join(crop_dir, "aug_{}_{}.png".format(base, k))
             )
-            n_fg += 1
+            n_crops += 1
         for k, patch in enumerate(bg):
             Image.fromarray(patch).save(
                 os.path.join(bg_dir, "aug_{}_bg{}.png".format(base, k))
             )
             n_bg += 1
 
-    log.log("sampled {} foreground and {} background patches".format(n_fg, n_bg))
+    log.log(
+        "sampled {} annotation crops and {} background patches".format(n_crops, n_bg)
+    )
     cache.clear()  # rebuild caches on next dataset load (run_sampling.py:190-215)
 
 

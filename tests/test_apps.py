@@ -170,6 +170,38 @@ class TestEvaluateRuntime:
         assert app.results["cascade"]["fps"] > 0
         assert app.results["single"]["fps"] > 0
 
+    def test_platform_comparison_axis(self, tmp_path, trained_cascade_app):
+        """The reference's GPU-vs-CPU axis (evaluate_runtime_app.py:50-55):
+        per-platform re-benchmarking via utils/device.force_platform. On the
+        CPU test backend the axis degenerates to cpu-only, which still
+        exercises the backend re-init + host-param rebuild path."""
+        _fast_config(tmp_path)
+        images = [
+            make_scene(80, 80, 1, seed=s, min_face=40, max_face=50).image
+            for s in range(2)
+        ]
+        provider = SyntheticProvider(40, 40, [12], seed=4)
+        cf.set("img_width", 12)
+        single = TrainApp(provider=provider)
+        from rapidobjectdetectionusingcascadedcnns_tpu.models.single import (
+            SingleNetDetector,
+        )
+
+        detector = SingleNetDetector(
+            single.trainer.state.params,
+            single.trainer.stage_config,
+            *single.trainer.mean_std(),
+        )
+        app = EvaluateRuntimeApp(
+            images=images,
+            cascade_model=trained_cascade_app.model,
+            single_detector=detector,
+            compare_platforms=["cpu"],
+        )
+        assert "cascade@cpu" in app.results and "single@cpu" in app.results
+        assert app.results["cascade@cpu"]["fps"] > 0
+        assert "speedup_cascade_vs_single@cpu" in app.results
+
 
 class TestFDDBApp:
     def test_fddb_export_with_synthetic_folds(self, trained_cascade_app, tmp_path):

@@ -24,6 +24,9 @@ def test_capacity_schedule_defaults():
     assert caps[0] >= caps[1]
     assert all(c % 128 == 0 for c in caps)
     assert caps[0] <= 20000
+    # sized for trained cascades (~1/8 survivors + headroom); saturation
+    # re-dispatch covers anything beyond
+    assert caps[0] == 2560
     # tiny pyramids keep everything
     caps_small = cascade.default_capacity_schedule(100, 3)
     assert caps_small == [100, 100]

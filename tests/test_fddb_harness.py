@@ -1,0 +1,135 @@
+"""FDDB harness end-to-end: all 10 folds over a synthetic FDDB-format corpus
+(fold files + JPEG images + official ellipse ground truth), exported fold
+detections byte-parseable per the official spec
+(reference app/evaluate_fddb_app.py:95-137)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+from rapidobjectdetectionusingcascadedcnns_tpu.data import fddb
+from rapidobjectdetectionusingcascadedcnns_tpu.data.synthetic import make_scene
+from rapidobjectdetectionusingcascadedcnns_tpu.train.cascade_trainer import (
+    CascadeTrainer,
+    SyntheticProvider,
+)
+
+
+@pytest.fixture(scope="module")
+def small_model(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("fddb_home")
+    cf.set("project_extension_root", str(tmp_path))
+    cf.set("project_extension_root_fast", str(tmp_path))
+    cf.set("conv_filter_sizes", [8])
+    cf.set("fc1_size", 32)
+    cf.set("compute_dtype", "float32")
+    cf.set("epochs_total", 2)
+    cf.set("max_beta", 2)
+    cf.set("n_max_constant_evals", None)
+    cf.set("cascade_n_nets", 2)
+    cf.set("img_width", 24)
+    cf.set("data_augmentation_online", False)
+    provider = SyntheticProvider(60, 180, [12, 24], seed=3)
+    return CascadeTrainer(provider, seed=0).train()
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("fddb_corpus"))
+    img_base, folds_dir, truth = fddb.make_synthetic_corpus(
+        base, n_folds=10, imgs_per_fold=2, seed=0
+    )
+    return img_base, folds_dir, truth
+
+
+def test_corpus_has_official_layout(corpus):
+    img_base, folds_dir, truth = corpus
+    for fold_nr in range(1, 11):
+        fold = os.path.join(folds_dir, "FDDB-fold-{:02d}.txt".format(fold_nr))
+        gt = os.path.join(
+            folds_dir, "FDDB-fold-{:02d}-ellipseList.txt".format(fold_nr)
+        )
+        assert os.path.exists(fold) and os.path.exists(gt)
+        keys = [l.strip() for l in open(fold) if l.strip()]
+        assert len(keys) == 2
+        for key in keys:
+            assert os.path.exists(os.path.join(img_base, key + ".jpg"))
+        # ellipse lines: 5 floats + the mandatory trailing 1
+        lines = [l.strip() for l in open(gt) if l.strip()]
+        assert lines[0] == keys[0]
+        n = int(lines[1])
+        for j in range(n):
+            parts = lines[2 + j].split()
+            assert len(parts) == 6 and parts[-1] == "1"
+
+
+def test_all_ten_folds_end_to_end(small_model, corpus, tmp_path):
+    from rapidobjectdetectionusingcascadedcnns_tpu.apps.evaluate_fddb import (
+        EvaluateFDDBApp,
+    )
+
+    img_base, folds_dir, truth = corpus
+    cf.set("fddb_folds_dir", folds_dir)
+    cf.set("fddb_img_base_dir", img_base)
+    cf.set("fddb_detection_output_dir", str(tmp_path / "out"))
+    cf.set("fddb_latest_detection_output_dir", str(tmp_path / "out" / "latest"))
+    cf.set("fddb_per_evaluation_script_path", str(tmp_path / "missing.pl"))
+    cf.set("foreground_confidence_threshold", 0.5)
+    cf.set("nms", cf.NMS_OPENCV)
+    cf.set("nms_opencv_min_neighbors", 0)
+
+    app = EvaluateFDDBApp(model=small_model, n_folds=10, run_now=False)
+    # FDDB evaluation config was forced (evaluate_fddb_app.py:32-41)
+    assert cf.get("window_scale_factor") == 1.005
+    assert cf.get("vertically_enlarge_bboxes") is True
+    assert cf.get("inference_resize_buckets") == cf.get("fddb_resize_buckets")
+    # CPU test budget: coarse pyramid + one resize bucket (same machinery,
+    # ~500x fewer windows than the real 1.005 evaluation density)
+    cf.set("window_scale_factor", 1.3)
+    cf.set("inference_resize_buckets", [(240, 320)])
+    app.run()
+
+    assert len(app.fold_paths) == 10
+    for fold_nr, path in enumerate(app.fold_paths, start=1):
+        keys = fddb.read_fold(fold_nr)
+        parsed = fddb.parse_fold_results(path)
+        assert [p[0] for p in parsed] == keys
+        for _key, boxes, scores in parsed:
+            assert boxes.shape[1] == 4 if len(boxes) else True
+            assert len(boxes) == len(scores)
+            if len(boxes):
+                assert (boxes[:, 2] > 0).all() and (boxes[:, 3] > 0).all()
+    # symlink to the latest export exists (evaluate_fddb_app.py:160-169)
+    assert os.path.islink(cf.get("fddb_latest_detection_output_dir"))
+
+
+def test_bucketing_maps_detections_back_to_original_geometry(small_model):
+    """A bucket-resized image's detections must come back in ORIGINAL image
+    coordinates: detect the same scene with and without bucketing and match
+    clusters by IoU (pixel-exact equality is not expected — bucketing trades
+    exact pyramid geometry for a bounded compile count; the quantified delta
+    lives in tools/fddb_bucketing_delta.py)."""
+    from rapidobjectdetectionusingcascadedcnns_tpu.models import cascade
+    from rapidobjectdetectionusingcascadedcnns_tpu.ops import rectangles as R
+
+    cf.set("foreground_confidence_threshold", 0.5)
+    cf.set("nms", cf.NMS_OPENCV)
+    cf.set("nms_opencv_min_neighbors", 0)
+    cf.set("window_scale_factor", 1.3)
+    scene = make_scene(200, 260, n_faces=1, seed=31, min_face=60, max_face=90)
+
+    det = cascade.CascadeDetector(small_model)
+    cf.set("inference_resize_buckets", None)
+    exact = det.detect(scene.image)
+    cf.set("inference_resize_buckets", [(240, 320)])
+    bucketed = det.detect(scene.image)
+
+    assert len(bucketed.boxes), "bucketed run lost all detections"
+    # boxes are in original coords: inside the original image bounds
+    assert (bucketed.boxes[:, 2] <= 260 + 1e-6).all()
+    assert (bucketed.boxes[:, 3] <= 200 + 1e-6).all()
+    if len(exact.boxes):
+        ious = R.iou_matrix(bucketed.boxes, exact.boxes)
+        assert ious.max() > 0.5

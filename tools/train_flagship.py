@@ -1,0 +1,151 @@
+"""Train + cache the flagship benchmark cascade (reference default
+architecture: conv [32], fc1 512, 12/24/48, bottleneck chaining, boosted
+soft-F-beta stages) on the synthetic corpus, then measure its detection
+quality and survivor distribution on the benchmark scenes.
+
+The artifact is saved under artifacts/flagship/ (not committed: the stage-2
+fc1 alone is ~151 MB of f32 weights — regenerate with this script, ~3-5 min
+on the attached TPU). bench.py loads it when present so the recorded
+benchmark runs a *trained* cascade with realistic survivor distributions and
+reports a quality number next to the throughput number.
+
+Usage: python tools/train_flagship.py [--force]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+ARTIFACT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts"
+)
+SESSION_KEY = "flagship"
+
+
+def flagship_config(cf):
+    """Benchmark configuration: reference default architecture + the training
+    recipe that makes synthetic cascades detect (NOTES.md round-1 findings:
+    low max_beta so stage 0 discriminates; positional augmentation so nets
+    fire on neighboring pyramid windows and NMS clusters form)."""
+    cf.set("conv_filter_sizes", [32])
+    cf.set("fc1_size", 512)
+    cf.set("cascade_n_nets", 3)
+    cf.set("img_width", 48)
+    cf.set("max_beta", 2)
+    cf.set("min_beta", 1)
+    cf.set("epochs_total", 12)
+    cf.set("batch_size", 512)
+    cf.set("n_max_constant_evals", None)
+    cf.set("data_augmentation_online", True)
+    cf.set("dao_crop_probability", 1.0)
+    cf.set("dao_crop_min_percent", 0.6)
+    cf.set("dao_max_rotation_angle", 10.0)
+    cf.set("dao_max_foreground_rotation_angle", 10.0)
+
+
+def train_flagship(n_pos=2000, n_neg=6000, seed=0):
+    from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+    from rapidobjectdetectionusingcascadedcnns_tpu.train import cascade_trainer as ct
+    from rapidobjectdetectionusingcascadedcnns_tpu.train import checkpoint
+
+    flagship_config(cf)
+    provider = ct.SyntheticProvider(n_pos, n_neg, [12, 24, 48], seed=seed)
+    trainer = ct.CascadeTrainer(provider, seed=seed)
+    t0 = time.time()
+    model = trainer.train()
+    train_secs = time.time() - t0
+    paths = checkpoint.save_cascade(ARTIFACT_DIR, SESSION_KEY, model)
+    print(f"trained in {train_secs:.0f}s; saved {len(paths)} stages to {ARTIFACT_DIR}")
+    return model, trainer, train_secs
+
+
+def load_flagship():
+    """Load the cached artifact, or None when absent/incompatible."""
+    from rapidobjectdetectionusingcascadedcnns_tpu.train import checkpoint
+
+    try:
+        return checkpoint.load_cascade(ARTIFACT_DIR, SESSION_KEY)
+    except (FileNotFoundError, KeyError, ValueError):
+        return None
+
+
+def evaluate_on_scenes(model, n_scenes=20, seed0=100):
+    """Scene-level recall / false positives + survivor stats at the
+    benchmark inference config."""
+    from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+    from rapidobjectdetectionusingcascadedcnns_tpu.data import synthetic
+    from rapidobjectdetectionusingcascadedcnns_tpu.models import cascade as casc
+    from rapidobjectdetectionusingcascadedcnns_tpu.ops import rectangles as rect_ops
+
+    cf.set("window_scale_factor", 1.1)
+    cf.set("min_window_length", 0.075)
+    cf.set("foreground_confidence_threshold", 0.5)
+    cf.set("nms", cf.NMS_OPENCV)
+    cf.set("nms_opencv_min_neighbors", 1)
+
+    detector = casc.CascadeDetector(model)
+    scenes = [
+        synthetic.make_scene(480, 640, n_faces=3, seed=seed0 + s, min_face=48, max_face=120)
+        for s in range(n_scenes)
+    ]
+    results = detector.detect_batch([s.image for s in scenes])
+
+    tp = fn = fp = 0
+    survivors = []
+    for scene, res in zip(scenes, results):
+        survivors.append(res.n_survivors_per_stage)
+        matched = set()
+        for gt in scene.boxes:
+            hit = False
+            for k, box in enumerate(res.boxes):
+                if rect_ops.iou_single(gt, box) > 0.3:
+                    hit = True
+                    matched.add(k)
+            tp += int(hit)
+            fn += int(not hit)
+        fp += len(res.boxes) - len(matched)
+
+    survivors = np.asarray(survivors)
+    stats = {
+        "n_scenes": n_scenes,
+        "n_faces": int(tp + fn),
+        "recall": round(tp / max(tp + fn, 1), 3),
+        "false_pos_per_scene": round(fp / n_scenes, 2),
+        "n_windows": int(results[0].n_windows),
+        "survivors_mean": [round(float(x), 1) for x in survivors.mean(axis=0)],
+        "survivors_max": [int(x) for x in survivors.max(axis=0)],
+    }
+    return stats
+
+
+def main():
+    import jax
+
+    cache_dir = os.environ.get("RODC_JIT_CACHE", "/tmp/rodc_jit_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+
+    force = "--force" in sys.argv
+    model = None if force else load_flagship()
+    if model is None:
+        model, _trainer, _secs = train_flagship()
+    else:
+        flagship_config(cf)
+        print("loaded cached flagship artifact")
+
+    stats = evaluate_on_scenes(model)
+    print(json.dumps(stats, indent=2))
+    with open(os.path.join(ARTIFACT_DIR, "flagship_eval.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
