@@ -179,3 +179,71 @@ def make_scene(
         image=canvas,
         boxes=np.asarray(boxes, dtype=np.int32).reshape(-1, 4),
     )
+
+
+def make_scene_patch_dataset(
+    n_pos: int, n_neg: int, size: int, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Patch corpus sampled from full SCENES via the offline-sampling flow
+    (the synthetic analog of the reference's run_sampling.py over
+    AFLW/ImageNet): positives are ground-truth face crops, negatives are
+    rejection-sampled background patches clear of any face (IoU <= 0.05).
+
+    Scene-sampled patches match the distribution pyramid windows see at
+    inference (canvas textures, varied crop scales), which is what makes a
+    stage-0 net actually reject background windows — plain
+    :func:`make_patch_dataset` textures are too unlike scene windows.
+    """
+    from ..ops import sampling as sampling_ops
+    from .image_io import resize_rgb
+
+    rng = np.random.RandomState(seed)
+    pos: List[np.ndarray] = []
+    neg: List[np.ndarray] = []
+    scene_seed = seed * 100003 + 17
+    while len(pos) < n_pos or len(neg) < n_neg:
+        scene = make_scene(
+            240, 320, n_faces=3, seed=scene_seed, min_face=40, max_face=140
+        )
+        scene_seed += 1
+        if len(pos) < n_pos:
+            for box in scene.boxes:
+                x0, y0, x1, y1 = [int(v) for v in box]
+                pos.append(resize_rgb(scene.image[y0:y1, x0:x1], size, size))
+        if len(neg) < n_neg:
+            restricted = scene.boxes.astype(np.float64)
+            for _ in range(8):
+                try:
+                    patch, _ = sampling_ops.random_img_patch(
+                        scene.image, restricted, 0.05, 24, rng
+                    )
+                except (sampling_ops.PotentialDeadlockError, ValueError):
+                    break
+                neg.append(resize_rgb(patch, size, size))
+    images = np.stack(pos[:n_pos] + neg[:n_neg])
+    labels = np.concatenate(
+        [np.ones(n_pos, np.int32), np.zeros(n_neg, np.int32)]
+    )
+    return images, labels
+
+
+def make_multiresolution_scene_patch_dataset(
+    n_pos: int, n_neg: int, sizes: List[int], seed: int = 0
+) -> dict:
+    """Scene-sampled patches rendered at aligned cascade resolutions
+    (pixel-aligned across sizes like
+    :func:`make_multiresolution_patch_dataset`)."""
+    top = max(sizes)
+    images_top, labels = make_scene_patch_dataset(n_pos, n_neg, top, seed)
+    out = {top: images_top}
+    for size in sizes:
+        if size == top:
+            continue
+        factor = top // size
+        if top % size != 0:
+            raise ValueError("sizes must divide the maximum size")
+        ds = images_top.reshape(
+            len(images_top), size, factor, size, factor, 3
+        ).mean(axis=(2, 4))
+        out[size] = np.clip(np.round(ds), 0, 255).astype(np.uint8)
+    return {"images": out, "labels": labels}

@@ -49,12 +49,44 @@ class DatasetProvider(Protocol):
 
 
 class SyntheticProvider:
-    """Multi-resolution synthetic patch datasets with aligned sample order."""
+    """Multi-resolution synthetic patch datasets with aligned sample order.
 
-    def __init__(self, n_pos: int, n_neg: int, sizes: List[int], seed: int = 0):
-        from ..data.synthetic import make_multiresolution_patch_dataset
+    ``source``: "patches" (procedural face/texture patches), "scenes"
+    (patches sampled from full scenes via the offline-sampling flow — the
+    distribution pyramid windows actually see), or "mixed" (half each).
+    """
 
-        bundle = make_multiresolution_patch_dataset(n_pos, n_neg, sizes, seed)
+    def __init__(
+        self, n_pos: int, n_neg: int, sizes: List[int], seed: int = 0,
+        source: str = "patches",
+    ):
+        import numpy as _np
+
+        from ..data.synthetic import (
+            make_multiresolution_patch_dataset,
+            make_multiresolution_scene_patch_dataset,
+        )
+
+        if source == "patches":
+            bundle = make_multiresolution_patch_dataset(n_pos, n_neg, sizes, seed)
+        elif source == "scenes":
+            bundle = make_multiresolution_scene_patch_dataset(n_pos, n_neg, sizes, seed)
+        elif source == "mixed":
+            a = make_multiresolution_patch_dataset(
+                n_pos - n_pos // 2, n_neg - n_neg // 2, sizes, seed
+            )
+            b = make_multiresolution_scene_patch_dataset(
+                n_pos // 2, n_neg // 2, sizes, seed + 1
+            )
+            bundle = {
+                "labels": _np.concatenate([a["labels"], b["labels"]]),
+                "images": {
+                    s: _np.concatenate([a["images"][s], b["images"][s]])
+                    for s in a["images"]
+                },
+            }
+        else:
+            raise ValueError("unknown corpus source {!r}".format(source))
         n = len(bundle["labels"])
         perm = deterministic_shuffle(n, cf.get("shuffle_seed"))
         self._labels = bundle["labels"][perm]

