@@ -69,6 +69,10 @@ class DetectionResult:
     raw_confidences: np.ndarray  # (K,)
     n_windows: int  # total windows evaluated at stage 0
     n_survivors_per_stage: List[int]
+    # stage-0 window ids (plan ordering) of the pre-NMS survivors — the
+    # stable identity used by the end-to-end reference oracle to compare
+    # survivor sets detection-for-detection (tests/test_e2e_oracle.py)
+    raw_window_ids: Optional[np.ndarray] = None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -732,6 +736,7 @@ class CascadeDetector:
             raw_confidences=raw_conf,
             n_windows=plan.n_windows,
             n_survivors_per_stage=survivors,
+            raw_window_ids=keep_ids,
         )
 
     @staticmethod

@@ -1,0 +1,348 @@
+"""End-to-end detection parity against the transliterated reference loop.
+
+tests/e2e_oracle.py is a pure-numpy transliteration of the reference's FULL
+inference pipeline (window enumeration, resize-then-slice extraction, CNN
+forward, per-stage threshold filter, bottleneck feed, LAST/AVG/MULT
+confidence accumulation, crop-then-resize re-extraction, groupRectangles,
+vertical enlarge — app/inference_cascade_app.py:119-342 +
+app/inference_app.py:168-231 + data/rectangles.py:230-435). These tests run
+it with a TRAINED cascade's weights against the device pipeline on 24 scenes
+across both extraction modes and all three confidence modes, and require the
+survivor sets, confidences, and final detections to match — float flips are
+tolerated only for borderline windows (|p - threshold| below tolerance, or
+windows whose uint8 pixels landed on opposite sides of a rounding tie).
+"""
+
+import numpy as np
+import pytest
+
+import e2e_oracle as oracle
+
+from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+from rapidobjectdetectionusingcascadedcnns_tpu.data import synthetic
+from rapidobjectdetectionusingcascadedcnns_tpu.models import cascade as casc
+from rapidobjectdetectionusingcascadedcnns_tpu.models import cnn
+from rapidobjectdetectionusingcascadedcnns_tpu.ops import pyramid, windows
+from rapidobjectdetectionusingcascadedcnns_tpu.train.cascade_trainer import (
+    CascadeTrainer,
+    SyntheticProvider,
+)
+
+PROB_TOL = 2e-3  # |p - threshold| below this counts as a borderline window
+
+IMG_H, IMG_W = 100, 120
+MWL = 0.075
+WSF = 1.3
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """A small TRAINED 2-stage cascade (12 -> 24, bottleneck chaining) plus
+    its numpy parameter copy for the oracle."""
+    tmp_path = tmp_path_factory.mktemp("e2e_home")
+    cf.set("project_extension_root", str(tmp_path))
+    cf.set("project_extension_root_fast", str(tmp_path))
+    cf.set("conv_filter_sizes", [8])
+    cf.set("fc1_size", 32)
+    cf.set("compute_dtype", "float32")
+    cf.set("epochs_total", 2)
+    cf.set("max_beta", 2)
+    cf.set("n_max_constant_evals", None)
+    cf.set("cascade_n_nets", 2)
+    cf.set("img_width", 24)
+    cf.set("data_augmentation_online", False)
+    provider = SyntheticProvider(60, 180, [12, 24], seed=3)
+    model = CascadeTrainer(provider, seed=0).train()
+    import jax
+
+    params_np = [
+        jax.tree_util.tree_map(np.asarray, p) for p in model.stage_params
+    ]
+    return model, params_np
+
+
+def _inference_config(extraction_mode, conf_mode, min_neighbors, enlarge, thresholds):
+    cf.set("compute_dtype", "float32")
+    cf.set("min_window_length", MWL)
+    cf.set("window_scale_factor", WSF)
+    cf.set("window_extraction_mode", extraction_mode)
+    cf.set("inference_high_precision", True)
+    cf.set("final_confidence_calculation", conf_mode)
+    cf.set("foreground_confidence_threshold", thresholds)
+    cf.set("nms_on_device", False)
+    cf.set("inference_resize_buckets", None)
+    cf.set("use_pallas_resample", "xla")
+    cf.set("vertically_enlarge_bboxes", enlarge)
+    if min_neighbors is None:
+        cf.set("nms", cf.NMS_DISABLED)
+    else:
+        cf.set("nms", cf.NMS_OPENCV)
+        cf.set("nms_opencv_min_neighbors", min_neighbors)
+
+
+# --------------------------------------------------------------------------
+# sub-oracles: each pipeline piece against its device counterpart
+# --------------------------------------------------------------------------
+
+
+def test_numpy_resampler_matches_device_taps(rng):
+    """The oracle's two tap families == the device's resize implementations."""
+    import jax.numpy as jnp
+
+    img = rng.randint(0, 256, size=(57, 83, 3)).astype(np.uint8)
+    for out_h, out_w in [(23, 31), (57, 83), (40, 70)]:
+        for antialias in (False, True):
+            ours = oracle.resize_bilinear(img, out_h, out_w, antialias)
+            dev = np.asarray(
+                windows.resize_image(jnp.asarray(img), out_h, out_w, antialias=antialias)
+            )
+            np.testing.assert_allclose(ours, dev, atol=1e-3)
+
+
+def test_oracle_enumeration_matches_plan():
+    """Nested-while enumeration == the static PyramidPlan (coords, order,
+    normalized coords)."""
+    wins = oracle.enumerate_windows(IMG_H, IMG_W, 12, 12, MWL, WSF)
+    plan = pyramid.build_plan(IMG_H, IMG_W, 12, 12, MWL, WSF)
+    table = pyramid.window_table(plan)
+    assert len(wins) == plan.n_windows
+    coords = np.array([[w.xmin, w.ymin, w.xmax, w.ymax] for w in wins])
+    np.testing.assert_array_equal(coords, table["coords"])
+    norm = np.array(
+        [[w.xmin_norm, w.ymin_norm, w.xmax_norm, w.ymax_norm] for w in wins]
+    )
+    np.testing.assert_array_equal(norm, table["coords_norm"])
+
+
+def test_numpy_forward_matches_device(trained, rng):
+    """Oracle CNN forward == jitted apply_stage on the trained weights."""
+    model, params_np = trained
+    x = rng.rand(17, 12, 12, 3).astype(np.float32) * 2 - 1
+    import jax.numpy as jnp
+
+    out_dev = cnn.apply_stage(model.stage_params[0], model.stage_configs[0], jnp.asarray(x))
+    probs_np, bneck_np = oracle.forward_stage_np(params_np[0], model.stage_configs[0], x, None)
+    np.testing.assert_allclose(probs_np, np.asarray(out_dev["probs"]), atol=1e-4)
+    np.testing.assert_allclose(
+        bneck_np, np.asarray(out_dev["bottleneck"]), atol=1e-3
+    )
+    # stage 1 with a bottleneck feed
+    x1 = rng.rand(17, 24, 24, 3).astype(np.float32) * 2 - 1
+    bn = bneck_np.astype(np.float32)
+    out_dev1 = cnn.apply_stage(
+        model.stage_params[1], model.stage_configs[1], jnp.asarray(x1), jnp.asarray(bn)
+    )
+    probs_np1, _ = oracle.forward_stage_np(params_np[1], model.stage_configs[1], x1, bn)
+    np.testing.assert_allclose(probs_np1, np.asarray(out_dev1["probs"]), atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# the end-to-end sweep
+# --------------------------------------------------------------------------
+
+# (extraction_mode, confidence_mode, min_neighbors, enlarge, thresholds, seeds)
+SCENE_GROUPS = [
+    ("crop", "FINAL_CONFIDENCE_CALCULATION_LAST_STEP", 1, True, 0.5, range(0, 8)),
+    ("crop", "FINAL_CONFIDENCE_CALCULATION_AVG", 1, False, 0.5, range(8, 13)),
+    ("crop", "FINAL_CONFIDENCE_CALCULATION_MULT", 0, False, [0.3, 0.6], range(13, 18)),
+    ("gather", "FINAL_CONFIDENCE_CALCULATION_LAST_STEP", 1, True, 0.5, range(18, 24)),
+]
+
+_CONF_MODE_SHORT = {
+    "FINAL_CONFIDENCE_CALCULATION_LAST_STEP": "last",
+    "FINAL_CONFIDENCE_CALCULATION_AVG": "avg",
+    "FINAL_CONFIDENCE_CALCULATION_MULT": "mult",
+}
+
+
+def _pixel_borderline_ids(image, model, o, extraction_mode):
+    """Window ids whose oracle pixels differ from the device extraction —
+    uint8 rounding ties between two float implementations; their
+    classification flips are not semantic drift. Also asserts pixel
+    agreement is within one gray level (same taps by construction)."""
+    import jax.numpy as jnp
+
+    plan = pyramid.build_plan(IMG_H, IMG_W, 12, 12, MWL, WSF)
+    table = pyramid.window_table(plan)
+    flagged = set()
+
+    # stage-0 pixels: device extraction vs the oracle's resize-then-slice
+    if extraction_mode == "crop":
+        dev0 = np.asarray(
+            windows.extract_windows_crop(
+                jnp.asarray(image), jnp.asarray(table["boxes_float"]), 12, 12,
+                chunk=4096, high_precision=True,
+            )
+        )
+    else:
+        dev0 = np.asarray(
+            windows.extract_windows(jnp.asarray(image), plan, antialias=True)
+        )
+    # rebuild the oracle's stage-0 raws (resize-then-slice)
+    image_f = image.astype(np.float32)
+    orc0 = np.empty_like(dev0)
+    cache = {}
+    for k, w in enumerate(o.windows):
+        if w.scale not in cache:
+            sh, sw = int(IMG_H * w.scale), int(IMG_W * w.scale)
+            if w.scale == 1.0:
+                cache[w.scale] = image_f
+            else:
+                cache[w.scale] = oracle.quantize_u8(
+                    oracle.resize_bilinear(
+                        image_f, sh, sw, antialias=(extraction_mode == "gather")
+                    )
+                )
+        orc0[k] = cache[w.scale][w.ymin : w.ymax, w.xmin : w.xmax]
+    diff0 = np.abs(dev0 - orc0).max(axis=(1, 2, 3))
+    assert diff0.max() <= 1.0 + 1e-4, "stage-0 extraction drifted beyond a rounding tie"
+    flagged.update(np.nonzero(diff0 > 0)[0].tolist())
+
+    # stage-1 re-extraction pixels on the oracle's stage-0 survivors
+    ids1 = o.survivor_ids_per_stage[0]
+    if len(ids1):
+        boxes = table["coords_norm"][ids1].astype(np.float32)
+        dev1 = np.asarray(
+            windows.crop_and_resize(
+                jnp.asarray(image.astype(np.float32)), jnp.asarray(boxes),
+                out_h=24, out_w=24, quantize=True, high_precision=True,
+            )
+        )
+        orc1 = np.empty_like(dev1)
+        for k, wid in enumerate(ids1):
+            w = o.windows[wid]
+            patch = image_f[w.ymin_norm : w.ymax_norm, w.xmin_norm : w.xmax_norm]
+            orc1[k] = oracle.quantize_u8(
+                oracle.resize_bilinear(patch, 24, 24, antialias=False)
+            )
+        diff1 = np.abs(dev1 - orc1).max(axis=(1, 2, 3))
+        assert diff1.max() <= 1.0 + 1e-4, "re-extraction drifted beyond a rounding tie"
+        flagged.update(int(ids1[k]) for k in np.nonzero(diff1 > 0)[0])
+    return flagged
+
+
+def test_detections_match_reference_oracle(trained):
+    """THE parity test: device detections == transliterated-reference
+    detections with trained weights, across 24 scenes x extraction modes x
+    confidence modes. Fails if any pipeline stage drifts from reference
+    semantics beyond borderline float flips."""
+    model, params_np = trained
+    n_scenes = 0
+    exact_scenes = 0
+    total_survivors = 0
+    total_detections = 0
+    total_mismatched = 0
+    plan = pyramid.build_plan(IMG_H, IMG_W, 12, 12, MWL, WSF)
+
+    for mode, conf_mode, mn, enlarge, thr, seeds in SCENE_GROUPS:
+        _inference_config(mode, conf_mode, mn, enlarge, thr)
+        thresholds = casc.resolve_thresholds(model.n_nets)
+        detector = casc.CascadeDetector(model, capacity_schedule=[plan.n_windows])
+        for seed in seeds:
+            scene = synthetic.make_scene(
+                IMG_H, IMG_W, n_faces=1 + seed % 2, seed=seed, min_face=20, max_face=60
+            )
+            res = detector.detect(scene.image)
+            o = oracle.run_reference_cascade(
+                scene.image,
+                params_np,
+                model.stage_configs,
+                model.stage_means,
+                model.stage_stds,
+                thresholds=thresholds,
+                confidence_mode=_CONF_MODE_SHORT[conf_mode],
+                min_window_length=MWL,
+                window_scale_factor=WSF,
+                nms_min_neighbors=mn,
+                vertically_enlarge=enlarge,
+                antialias_pyramid=(mode == "gather"),
+                mult_min_score=cf.MIN_SCORE_FOR_FINAL_CONFIDENCE_CALCULATION_MULT,
+            )
+            n_scenes += 1
+            total_survivors += len(res.raw_window_ids)
+            total_detections += len(res.boxes)
+
+            # -- survivor-set parity (borderline flips tolerated) ---------
+            dev_ids = set(int(i) for i in res.raw_window_ids)
+            orc_ids = set(int(i) for i in o.final_ids)
+            mismatched = dev_ids ^ orc_ids
+            total_mismatched += len(mismatched)
+            if mismatched:
+                borderline = {
+                    wid
+                    for stage, probs in enumerate(o.stage_probs)
+                    for wid, p in probs.items()
+                    if abs(p - thresholds[stage]) < PROB_TOL
+                }
+                borderline |= _pixel_borderline_ids(scene.image, model, o, mode)
+                assert mismatched <= borderline, (
+                    "non-borderline survivor drift (mode={}, conf={}, seed={}): "
+                    "{}".format(mode, conf_mode, seed, sorted(mismatched - borderline)[:10])
+                )
+
+            # -- per-stage survivor counts ---------------------------------
+            for stage, orc_stage_ids in enumerate(o.survivor_ids_per_stage):
+                assert abs(
+                    res.n_survivors_per_stage[stage] - len(orc_stage_ids)
+                ) <= len(mismatched) + 8, (mode, conf_mode, seed, stage)
+
+            # -- confidence parity on the common survivors ----------------
+            dev_conf = {
+                int(i): float(c)
+                for i, c in zip(res.raw_window_ids, res.raw_confidences)
+            }
+            orc_conf = {
+                int(i): float(c) for i, c in zip(o.final_ids, o.final_conf)
+            }
+            for wid in dev_ids & orc_ids:
+                assert abs(dev_conf[wid] - orc_conf[wid]) < 5e-3, (
+                    mode, conf_mode, seed, wid, dev_conf[wid], orc_conf[wid],
+                )
+
+            # -- NMS + enlarge semantics on the DEVICE survivor set -------
+            # (float-insensitive: integer rectangles in, so this must be
+            # EXACT whenever the survivor sets agree; checked via the oracle
+            # postprocessing machinery on the device's own survivors)
+            if mn is not None:
+                rects = [
+                    (int(b[0]), int(b[1]), int(b[2] - b[0]), int(b[3] - b[1]))
+                    for b in res.raw_boxes
+                ]
+                kept, weights = oracle.group_rectangles_oracle(rects, mn)
+                exp_boxes = (
+                    np.stack(
+                        [kept[:, 0], kept[:, 1], kept[:, 0] + kept[:, 2],
+                         kept[:, 1] + kept[:, 3]], axis=1,
+                    ).astype(np.float64)
+                    if len(kept)
+                    else np.zeros((0, 4), np.float64)
+                )
+                if enlarge and len(exp_boxes):
+                    exp_boxes = oracle.vertically_enlarge_np(exp_boxes, 0.2)
+                got = sorted(map(tuple, np.round(res.boxes, 6).tolist()))
+                want = sorted(map(tuple, np.round(exp_boxes, 6).tolist()))
+                assert got == want, (mode, conf_mode, seed, got, want)
+                assert sorted(res.confidences.tolist()) == sorted(
+                    weights.astype(np.float64).tolist()
+                ), (mode, conf_mode, seed)
+
+            # -- full-detection exactness bookkeeping ----------------------
+            if not mismatched:
+                got = sorted(map(tuple, np.round(res.boxes, 6).tolist()))
+                want = sorted(map(tuple, np.round(o.boxes, 6).tolist()))
+                assert got == want, (mode, conf_mode, seed, got, want)
+                exact_scenes += 1
+
+    assert n_scenes == 24
+    # the sweep must not pass vacuously on empty survivor/detection sets
+    assert total_survivors > 100, total_survivors
+    assert total_detections > 10, total_detections
+    # borderline flips must be the exception, not the norm: every mismatch
+    # above was proven borderline, and globally they must stay a sliver of
+    # the survivor population; a healthy share of scenes must match the
+    # reference oracle EXACTLY (run-to-run CPU reduction-order jitter flips
+    # a few near-threshold windows per run, so this is a quota, not 100%)
+    assert total_mismatched <= max(4, int(0.02 * total_survivors)), (
+        total_mismatched, total_survivors,
+    )
+    assert exact_scenes >= n_scenes // 2, (exact_scenes, n_scenes)
