@@ -256,7 +256,12 @@ def _apply_local_overlay(cf: Dict[str, Any]) -> None:
         overlay = getattr(rodc_local, "_cf", None) or getattr(rodc_local, "cf", {})
         for key, value in overlay.items():
             cf[key] = value
+        # re-derive the path tree from (possibly overridden) roots, then let
+        # explicitly overlaid keys win again — the reference's config_local
+        # can override ANY key, including derived paths (config.py:487-538)
         _derive_paths(cf)
+        for key, value in overlay.items():
+            cf[key] = value
     except ImportError:
         pass
 
