@@ -95,7 +95,15 @@ def _conv(x, p, stride=1, dtype=jnp.bfloat16):
 
 
 def apply_backbone(params: Params, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """(N, 299, 299, 3) standardized input -> (N, 2048) bottleneck."""
+    """(N, 299, 299, 3) standardized input -> (N, 2048) bottleneck.
+
+    Dispatches to the full-fidelity InceptionV3 trunk when ``params`` came
+    from converted pretrained weights (models/inception_v3.py), else runs
+    the compact trainable trunk."""
+    if "v3" in params:
+        from . import inception_v3
+
+        return inception_v3.apply_v3(params["v3"], x, dtype=dtype)
     h = x.astype(dtype)
     for p, (_c, _k, stride) in zip(params["stem"], _STEM):
         h = _conv(h, p, stride=stride, dtype=dtype)
@@ -145,7 +153,14 @@ def params_from_flat(flat: Dict[str, np.ndarray]) -> Params:
 
 
 def load_backbone_weights(path: str) -> Params:
-    """Load externally provided backbone weights (.npz of this pytree)."""
+    """Load externally provided backbone weights: either an .npz of the
+    compact trunk's pytree, or a converted pretrained InceptionV3 archive
+    ("v3/" namespace — tools/convert_inception.py), which routes
+    apply_backbone to the full-fidelity trunk."""
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files}
+    if any(k.startswith("v3/") for k in flat):
+        from . import inception_v3
+
+        return {"v3": inception_v3.params_from_flat(flat)}
     return params_from_flat(flat)
