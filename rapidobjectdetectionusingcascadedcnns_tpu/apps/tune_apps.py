@@ -9,6 +9,7 @@ instead of reloading the config module.
 
 from __future__ import annotations
 
+import os
 import traceback
 from typing import List, Optional
 
@@ -28,11 +29,20 @@ class TuneSingleApp(BaseApp):
         random: bool = False,
         max_sessions: Optional[int] = None,
         provider=None,
+        state_path: Optional[str] = None,
         run_now: bool = True,
     ):
+        """``state_path``: optional JSON file persisting the sweep position +
+        results after every session; when it already exists, the sweep
+        RESUMES from it (long sweeps survive process restarts — the
+        reference tuner lives and dies with one process)."""
         self.tuner: HyperTuner = (
             HyperTunerRandom(param_keys) if random else HyperTunerSuccessive(param_keys)
         )
+        self.state_path = state_path
+        if state_path and os.path.exists(state_path):
+            self.tuner.load_state(state_path)
+            log.log("resumed tuner state from {}".format(state_path))
         self.max_sessions = max_sessions
         self.provider = provider
         self.best_score = float("-inf")
@@ -70,6 +80,8 @@ class TuneSingleApp(BaseApp):
                     results = self._session_results(trainer)
                     self.tuner.receive_results(results)
                     self._track_global_best(results)
+                    if self.state_path:
+                        self.tuner.save_state(self.state_path)
                 except Exception:
                     # a failed session must not stop the sweep
                     # (tune_single_app.py:74-88)

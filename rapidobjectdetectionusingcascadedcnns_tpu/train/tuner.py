@@ -20,6 +20,8 @@ instead of the reference's ``importlib.reload`` hack.
 from __future__ import annotations
 
 import abc
+import json
+import os
 import random
 from typing import Any, Dict, List, Optional
 
@@ -131,6 +133,39 @@ class HyperTuner(abc.ABC):
             self._iter_total = self.required_iterations() + 1
         log.log("Hypertuning disabled")
 
+    # -- persistence (survives interrupted sweeps across sessions) --------
+    # The reference tuner lives and dies with one process; long sweeps on
+    # shared accelerators need resume, so tuners serialize their full
+    # position + results to JSON.
+
+    def state_dict(self) -> Dict[str, Any]:
+        return {
+            "kind": type(self).__name__,
+            "param_keys": list(self.param_keys),
+            "iter_total": self._iter_total,
+        }
+
+    def load_state_dict(self, state: Dict[str, Any]) -> None:
+        if state.get("kind") != type(self).__name__:
+            raise ValueError(
+                "tuner state is for {}, not {}".format(
+                    state.get("kind"), type(self).__name__
+                )
+            )
+        if state.get("param_keys") != list(self.param_keys):
+            raise ValueError("tuner state covers different param_keys")
+        self._iter_total = int(state["iter_total"])
+
+    def save_state(self, path: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.state_dict(), f, indent=1)
+        os.replace(tmp, path)
+
+    def load_state(self, path: str) -> None:
+        with open(path) as f:
+            self.load_state_dict(json.load(f))
+
     @staticmethod
     def override_configuration_entry(cf_key: str, value: Any) -> None:
         """cf.set with the reference's consistency side effects
@@ -188,6 +223,27 @@ class HyperTunerRandom(HyperTuner):
         for key, value in self.best["config"].items():
             log.log(" - {} = {}".format(key, value))
 
+    def state_dict(self) -> Dict[str, Any]:
+        state = super().state_dict()
+        rng_state = self._rng.getstate()
+        state.update(
+            {
+                "rng_state": [rng_state[0], list(rng_state[1]), rng_state[2]],
+                "current": self._current,
+                "results": self.results,
+                "best": self.best,
+            }
+        )
+        return state
+
+    def load_state_dict(self, state: Dict[str, Any]) -> None:
+        super().load_state_dict(state)
+        version, internal, gauss = state["rng_state"]
+        self._rng.setstate((version, tuple(internal), gauss))
+        self._current = dict(state["current"])
+        self.results = list(state["results"])
+        self.best = state["best"]
+
 
 class HyperTunerSuccessive(HyperTuner):
     """One parameter at a time, sequential over its grid
@@ -243,6 +299,13 @@ class HyperTunerSuccessive(HyperTuner):
         key = self.current_param
         if key is None:
             return
+        # re-apply every previously kept winner first: the app resets config
+        # between sessions, and the reference restores best values on every
+        # application (hyper_tuner_successive.py:57-76 restore_best_values)
+        for prev_key, prev_value in self.best_values.items():
+            if prev_key != key:
+                log.log("Restoring {} to {}.".format(prev_key, prev_value))
+                self.override_configuration_entry(prev_key, prev_value)
         value = self.grids[key][self._value_idx]
         log.log(" - {} = {} ({}/{})".format(key, value, self._value_idx + 1, len(self.grids[key])))
         self.override_configuration_entry(key, value)
@@ -258,3 +321,24 @@ class HyperTunerSuccessive(HyperTuner):
         log.log("best successive values so far:")
         for key, value in self.best_values.items():
             log.log(" - {} = {}".format(key, value))
+
+    def state_dict(self) -> Dict[str, Any]:
+        state = super().state_dict()
+        state.update(
+            {
+                "param_idx": self._param_idx,
+                "value_idx": self._value_idx,
+                "scores": self._scores,
+                "best_values": self.best_values,
+            }
+        )
+        return state
+
+    def load_state_dict(self, state: Dict[str, Any]) -> None:
+        super().load_state_dict(state)
+        self._param_idx = int(state["param_idx"])
+        self._value_idx = int(state["value_idx"])
+        self._scores = {k: list(v) for k, v in state["scores"].items()}
+        self.best_values = dict(state["best_values"])
+        # (kept winners are re-applied by _apply_current_settings each
+        # session, mirroring the reference's restore_best_values)

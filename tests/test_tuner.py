@@ -81,3 +81,59 @@ class TestSuccessiveTuner:
         assert t.required_iterations() == len(t.grids["pooling_size"]) + len(
             t.grids["conv_stride"]
         )
+
+
+class TestPersistence:
+    def test_random_state_roundtrip(self, tmp_path):
+        cf.set("tuning_main_criteria", "f1_score")
+        t = tuner_mod.HyperTunerRandom(["learning_rate_init", "dropout_rate"], seed=7)
+        for score in (0.4, 0.9):
+            t.tune()
+            t.receive_results({"f1_score": score})
+        path = str(tmp_path / "tuner.json")
+        t.save_state(path)
+
+        # a FRESH process would reconstruct + resume: the rng stream, the
+        # current draw, and the results history must all survive
+        t2 = tuner_mod.HyperTunerRandom(["learning_rate_init", "dropout_rate"], seed=0)
+        t2.load_state(path)
+        assert t2.best["score"] == t.best["score"] == 0.9
+        assert t2._current == t._current
+        assert len(t2.results) == 2
+        # identical future draws
+        t.tune()
+        t2.tune()
+        assert t._current == t2._current
+
+    def test_successive_state_roundtrip_and_restore(self, tmp_path):
+        cf.set("tuning_main_criteria", "accuracy")
+        t = tuner_mod.HyperTunerSuccessive(["dropout_rate", "pooling_size"])
+        grid = t.grids["dropout_rate"]
+        for score in (0.55, 0.80, 0.60, 0.58):
+            t.tune()
+            t.receive_results({"accuracy": score})
+        t.tune()  # finishes dropout_rate, starts pooling_size
+        path = str(tmp_path / "tuner.json")
+        t.save_state(path)
+
+        t2 = tuner_mod.HyperTunerSuccessive(["dropout_rate", "pooling_size"])
+        t2.load_state(path)
+        assert t2.best_values == {"dropout_rate": grid[1]}
+        assert t2.current_param == "pooling_size"
+        # the app resets config between sessions; applying the next value
+        # must re-apply the kept winner (reference restore_best_values,
+        # hyper_tuner_successive.py:57-76)
+        cf.reset()
+        t2._apply_current_settings()
+        assert cf.get("dropout_rate") == grid[1]
+        assert cf.get("pooling_size") == t2.grids["pooling_size"][t2._value_idx]
+
+    def test_kind_and_keys_mismatch_rejected(self, tmp_path):
+        t = tuner_mod.HyperTunerRandom(["dropout_rate"], seed=0)
+        t.tune()
+        path = str(tmp_path / "tuner.json")
+        t.save_state(path)
+        with pytest.raises(ValueError):
+            tuner_mod.HyperTunerSuccessive(["dropout_rate"]).load_state(path)
+        with pytest.raises(ValueError):
+            tuner_mod.HyperTunerRandom(["pooling_size"], seed=0).load_state(path)
