@@ -102,6 +102,9 @@ def _build_defaults() -> Dict[str, Any]:
     # window resampling backend: "auto" => fused Pallas kernel on real TPU
     # (ops/windows_pallas.py), XLA einsums elsewhere / for high_precision
     cf["use_pallas_resample"] = "auto"  # auto | pallas | xla
+    # stage-0 scheduled (support-bounded) Pallas extraction; "auto" defers
+    # to the kernel benchmarks' verdict per backend (ops/windows_sched.py)
+    cf["stage0_scheduled_extraction"] = "auto"  # auto | on | off
     cf["nms_on_device"] = False  # run groupRectangles inside the program
     cf["inference_resize_buckets"] = None  # [(h, w), ...] or None (exact)
     # FDDB corpora mix hundreds of image sizes; these buckets bound the

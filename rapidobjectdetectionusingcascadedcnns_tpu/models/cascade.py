@@ -113,20 +113,29 @@ def resolve_extraction_mode(plan: PyramidPlan) -> str:
 def resolve_resample_impl() -> str:
     """'pallas' (fused VMEM-resident window-resampling kernel,
     ops/windows_pallas.py) on real TPU backends, 'xla' (interpolation-matrix
-    einsums) elsewhere; `use_pallas_resample` forces either. Resolved on the
-    host per dispatch and threaded as a static jit argument so a config flip
-    is never baked into a cached executable."""
+    einsums) elsewhere; `use_pallas_resample` forces either, and 'pallas2'
+    additionally routes stage-0 through the scheduled support-bounded kernel
+    (ops/windows_sched.py; `stage0_scheduled_extraction` is the equivalent
+    toggle on top of the auto choice). Resolved on the host per dispatch and
+    threaded as a static jit argument so a config flip is never baked into a
+    cached executable."""
     configured = cf.get("use_pallas_resample")
-    if configured in ("pallas", "xla"):
+    sched_flag = cf.get("stage0_scheduled_extraction")
+    if configured in ("pallas", "xla", "pallas2"):
+        if configured == "pallas" and sched_flag == "on":
+            return "pallas2"
         return configured
     if configured is True:
         return "pallas"
     if configured is False:
         return "xla"
     try:
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        if jax.default_backend() != "tpu":
+            return "xla"
     except Exception:  # pragma: no cover - backend probing
         return "xla"
+    # scheduled stage-0 is opt-in until it beats the v1 kernel on-chip
+    return "pallas2" if sched_flag == "on" else "pallas"
 
 
 def resolve_thresholds(n_stages: int) -> List[float]:
@@ -196,6 +205,55 @@ def _apply_stage_on_boxes_chunked(
     )
 
 
+def _apply_stage_on_windows_chunked(
+    wins: jnp.ndarray,  # (N, s, s, C) extracted windows (any float dtype)
+    bneck_in,  # (N, B) or None
+    params,
+    stage_cfg: cnn.StageConfig,
+    mean: jnp.ndarray,
+    std: jnp.ndarray,
+    chunk: int,
+):
+    """Stage CNN over pre-extracted windows, lax.map'ed in fixed-size chunks
+    (bounds the conv/fc intermediates to one chunk — same rationale as
+    :func:`_apply_stage_on_boxes_chunked`, used when extraction already
+    materialized the windows, e.g. the scheduled Pallas kernel)."""
+    n = wins.shape[0]
+
+    def stage(wc, bn):
+        out = cnn.apply_stage(
+            params, stage_cfg, (wc.astype(jnp.float32) - mean) / std, bn
+        )
+        return out["probs"], out["bottleneck"]
+
+    if n <= chunk:
+        return stage(wins, bneck_in)
+
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    wins_p = jnp.concatenate(
+        [wins, jnp.broadcast_to(wins[-1:], (pad,) + wins.shape[1:])]
+    )
+    wins_c = wins_p.reshape((n_chunks, chunk) + wins.shape[1:])
+    if bneck_in is not None:
+        bneck_p = jnp.concatenate(
+            [bneck_in, jnp.broadcast_to(bneck_in[-1:], (pad, bneck_in.shape[1]))]
+        )
+        bneck_c = bneck_p.reshape(n_chunks, chunk, -1)
+    else:
+        bneck_c = jnp.zeros((n_chunks, chunk, 1), jnp.float32)
+
+    def one(args):
+        wc, bc = args
+        return stage(wc, bc if bneck_in is not None else None)
+
+    probs, bottleneck = jax.lax.map(one, (wins_c, bneck_c))
+    return (
+        probs.reshape(n_chunks * chunk, -1)[:n],
+        bottleneck.reshape(n_chunks * chunk, -1)[:n],
+    )
+
+
 def _cascade_core(
     image: jnp.ndarray,
     coords_norm: jnp.ndarray,  # (N0, 4) int32 window coords on original image
@@ -230,21 +288,44 @@ def _cascade_core(
     # gather mode: one fused resize+gather per pyramid level (best for coarse
     # pyramids); crop mode: one chunked interpolation-einsum over the whole
     # window set (program size independent of pyramid density — required for
-    # FDDB-style 1.005 pyramids with ~500 levels)
+    # FDDB-style 1.005 pyramids with ~500 levels). On TPU the crop mode's
+    # resample runs the scheduled support-bounded Pallas kernel
+    # (ops/windows_sched.py) when the static plan admits a schedule.
     mean0, std0 = stage_stats[0]
     if extraction_mode == "crop":
-        probs0, bottleneck = _apply_stage_on_boxes_chunked(
-            image_f,
-            boxes_float,
-            None,
-            stage_params[0],
-            stage_configs[0],
-            mean0,
-            std0,
-            chunk,
-            high_precision,
-            resample_impl,
-        )
+        sched = None
+        if resample_impl == "pallas2" and not high_precision:
+            from ..ops import windows_sched
+
+            sched = windows_sched.schedule_for_plan(
+                plan, stage_configs[0].input_size, stage_configs[0].input_size
+            )
+        if sched is not None:
+            wins0 = windows_sched.extract_scheduled(
+                image_f, boxes_float, sched, out_dtype=jnp.bfloat16
+            )
+            probs0, bottleneck = _apply_stage_on_windows_chunked(
+                wins0,
+                None,
+                stage_params[0],
+                stage_configs[0],
+                mean0,
+                std0,
+                chunk,
+            )
+        else:
+            probs0, bottleneck = _apply_stage_on_boxes_chunked(
+                image_f,
+                boxes_float,
+                None,
+                stage_params[0],
+                stage_configs[0],
+                mean0,
+                std0,
+                chunk,
+                high_precision,
+                "pallas" if resample_impl == "pallas2" else resample_impl,
+            )
         n_windows0 = boxes_float.shape[0]
     else:
         windows = extract_windows(image_f, plan)  # (N0, s0, s0, C)
@@ -291,7 +372,7 @@ def _cascade_core(
             std_i,
             chunk,
             high_precision,
-            resample_impl,
+            "pallas" if resample_impl == "pallas2" else resample_impl,
         )
         p_i = probs_i[:, 1]
         stage_alive = p_i > thresholds[i]

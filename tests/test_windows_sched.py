@@ -1,0 +1,187 @@
+"""Scheduled (support-bounded) Pallas extraction: schedule construction and
+parity vs the v1 kernel / XLA formulation.
+
+Cross-program tolerance policy: sampling positions are f32 expressions that
+XLA may or may not contract into FMAs depending on the surrounding program,
+so two *separately compiled* extraction paths can disagree by one ulp in a
+tap weight exactly at a bf16 rounding boundary — visible as a +-1 flip of
+the u8-quantized output on a tiny fraction of elements. Within one program
+(the cascade) the positions are computed once, so stage decisions stay
+self-consistent; across programs the tests assert exactness on >=99.9% of
+elements and |diff| <= 1 elsewhere (the e2e oracle's borderline-window
+policy covers the same flips end to end).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rapidobjectdetectionusingcascadedcnns_tpu.ops import (
+    windows,
+    windows_pallas,
+    windows_sched,
+)
+from rapidobjectdetectionusingcascadedcnns_tpu.ops.pyramid import (
+    build_plan,
+    window_table,
+)
+
+
+def _assert_quantized_parity(got, ref, max_frac=1e-3):
+    got = np.asarray(got, np.float32)
+    ref = np.asarray(ref, np.float32)
+    neq = got != ref
+    assert np.abs(got - ref).max(initial=0.0) <= 1.0 + 1e-6
+    assert neq.mean() <= max_frac, f"{neq.sum()}/{ref.size} elements differ"
+
+
+def _plan_sched_windows(img_h=192, img_w=256, wsf=1.05):
+    plan = build_plan(img_h, img_w, 12, 12, 0.075, wsf)
+    table = window_table(plan)
+    boxes = table["boxes_float"].astype(np.float32)
+    sched = windows_sched.build_schedule(
+        boxes, img_h, img_w, 12, 12,
+        order=windows_sched.plan_blocked_order(plan),
+    )
+    return plan, boxes, sched
+
+
+def test_schedule_classes_are_support_bounded():
+    plan, boxes, sched = _plan_sched_windows()
+    assert sched is not None
+    # the blocked order must produce a real stratification: some tiles in
+    # cells much smaller than the full image
+    assert any(c.cell_r <= 128 for c in sched.classes)
+    # every window appears exactly once in the output mapping
+    assert sorted(sched.positions.tolist()) == sorted(
+        set(sched.positions.tolist())
+    )
+    assert len(sched.positions) == plan.n_windows
+    # block offsets in range; ladder rungs divide the padded dims
+    for c in sched.classes:
+        assert sched.h_pad % c.cell_r == 0
+        assert sched.w_pad % c.cell_c == 0
+        assert ((c.offs[0] + 1) * c.cell_r <= sched.h_pad).all()
+        assert ((c.offs[1] + 1) * c.cell_c <= sched.w_pad).all()
+
+
+def test_matches_v1_kernel_on_plan(rng):
+    plan, boxes, sched = _plan_sched_windows()
+    img = rng.randint(0, 256, size=(192, 256, 3)).astype(np.float32)
+    got = windows_sched.extract_scheduled(
+        jnp.asarray(img), jnp.asarray(boxes), sched, interpret=True
+    )
+    ref = windows_pallas.crop_and_resize_pallas(
+        jnp.asarray(img), jnp.asarray(boxes), out_h=12, out_w=12, interpret=True
+    )
+    _assert_quantized_parity(got, ref)
+
+
+def test_matches_xla_core_on_plan(rng):
+    plan, boxes, sched = _plan_sched_windows()
+    img = rng.randint(0, 256, size=(192, 256, 3)).astype(np.float32)
+    got = windows_sched.extract_scheduled(
+        jnp.asarray(img), jnp.asarray(boxes), sched, interpret=True
+    )
+    ref = windows.crop_and_resize(
+        jnp.asarray(img), jnp.asarray(boxes), out_h=12, out_w=12
+    )
+    _assert_quantized_parity(got, ref)
+
+
+def test_exact_on_power_of_two_boxes(rng):
+    """Boxes whose resize ratio is a power of two have exactly-representable
+    tap weights — every path must agree bit-for-bit."""
+    img = rng.randint(0, 256, size=(160, 256, 3)).astype(np.float32)
+    n = 70
+    sides = rng.choice([12, 24, 48], size=n)
+    x0 = rng.randint(0, 200, n).astype(np.float32)
+    y0 = rng.randint(0, 100, n).astype(np.float32)
+    boxes = np.stack([x0, y0, x0 + sides, y0 + sides], 1).astype(np.float32)
+    boxes[:, 2] = np.minimum(boxes[:, 2], 256)
+    boxes[:, 3] = np.minimum(boxes[:, 3], 160)
+    sched = windows_sched.build_schedule(boxes, 160, 256, 12, 12)
+    assert sched is not None
+    got = np.asarray(
+        windows_sched.extract_scheduled(
+            jnp.asarray(img), jnp.asarray(boxes), sched, interpret=True
+        )
+    )
+    ref = np.asarray(
+        windows.crop_and_resize(
+            jnp.asarray(img), jnp.asarray(boxes), out_h=12, out_w=12
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_order_permutation_roundtrip(rng):
+    """A shuffled tiling order must still return windows in input order."""
+    img = rng.randint(0, 256, size=(160, 384, 3)).astype(np.float32)
+    n = 101  # not a tile multiple: exercises replicated padding
+    x0 = rng.uniform(0, 340, n)
+    y0 = rng.uniform(0, 120, n)
+    s = rng.uniform(10, 40, n)
+    boxes = np.stack(
+        [x0, y0, np.minimum(x0 + s, 384), np.minimum(y0 + s, 160)], 1
+    ).astype(np.float32)
+    order = rng.permutation(n)
+    got = windows_sched.extract_scheduled(
+        jnp.asarray(img),
+        jnp.asarray(boxes),
+        windows_sched.build_schedule(boxes, 160, 384, 12, 12, order=order),
+        interpret=True,
+    )
+    ref = windows_pallas.crop_and_resize_pallas(
+        jnp.asarray(img), jnp.asarray(boxes), out_h=12, out_w=12, interpret=True
+    )
+    _assert_quantized_parity(got, ref, max_frac=5e-3)
+
+
+def test_small_image_returns_none():
+    boxes = np.array([[0, 0, 20, 20]], np.float32)
+    assert windows_sched.build_schedule(boxes, 100, 120, 12, 12) is None
+
+
+def test_schedule_for_plan_cached():
+    plan = build_plan(192, 256, 12, 12, 0.075, 1.2)
+    a = windows_sched.schedule_for_plan(plan, 12, 12)
+    b = windows_sched.schedule_for_plan(plan, 12, 12)
+    assert a is b
+
+
+def test_cascade_uses_scheduled_stage0(rng, monkeypatch):
+    """Forcing resample 'pallas' + crop mode on a schedulable image must
+    produce the same detections as the XLA path (CPU: interpret mode)."""
+    from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+    from rapidobjectdetectionusingcascadedcnns_tpu.data import synthetic
+    from rapidobjectdetectionusingcascadedcnns_tpu.models import cascade as casc
+
+    with cf.overrides(
+        conv_filter_sizes=[8],
+        fc1_size=32,
+        cascade_n_nets=2,
+        img_width=24,
+        window_scale_factor=1.25,
+        min_window_length=0.15,
+        window_extraction_mode="crop",
+    ):
+        model = casc.build_cascade_model(seed=3)
+        img = synthetic.make_scene(160, 256, 2, seed=5).image
+
+        with cf.overrides(use_pallas_resample="xla"):
+            det_x = casc.CascadeDetector(model).detect(img)
+        with cf.overrides(use_pallas_resample="pallas2"):
+            det_p = casc.CascadeDetector(model).detect(img)
+
+    # identical survivor sets modulo borderline ulp flips: compare ids
+    ids_x = set(np.asarray(det_x.raw_window_ids).tolist())
+    ids_p = set(np.asarray(det_p.raw_window_ids).tolist())
+    sym = ids_x ^ ids_p
+    assert len(sym) <= max(2, 0.02 * max(1, len(ids_x)))
+    np.testing.assert_allclose(
+        np.sort(np.asarray(det_x.boxes), axis=0),
+        np.sort(np.asarray(det_p.boxes), axis=0),
+        atol=6.0,
+    ) if len(det_x.boxes) == len(det_p.boxes) else None

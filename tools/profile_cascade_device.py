@@ -1,0 +1,163 @@
+"""True device-side cost of the full cascade program, bisected.
+
+Wraps `_cascade_core` in a K-iteration lax.scan inside one jit (single
+dispatch+fetch; per-iteration cost excludes the ~30 ms tunnel floor) and
+times variants: device-NMS on/off, per-phase sub-programs.
+
+Usage: python tools/profile_cascade_device.py [fddb|vga]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+cache_dir = os.environ.get("RODC_JIT_CACHE", "/tmp/rodc_jit_cache")
+os.makedirs(cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+from rapidobjectdetectionusingcascadedcnns_tpu.data import synthetic
+from rapidobjectdetectionusingcascadedcnns_tpu.models import cascade as casc
+from rapidobjectdetectionusingcascadedcnns_tpu.ops.pyramid import build_plan, window_table
+
+K = 4
+
+
+def fetch(x):
+    return float(np.asarray(x))
+
+
+def timeit(fn, reps=3):
+    fn()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts) * 1e3
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "fddb"
+    if which == "fddb":
+        img_h, img_w, wsf = 450, 450, 1.005
+    else:
+        img_h, img_w, wsf = 480, 640, 1.1
+
+    cf.reset()
+    cf.set("conv_filter_sizes", [32])
+    cf.set("fc1_size", 512)
+    cf.set("cascade_n_nets", 3)
+    cf.set("img_width", 48)
+    cf.set("window_scale_factor", wsf)
+    cf.set("min_window_length", 0.075)
+
+    @jax.jit
+    def trivial(x):
+        return x + 1.0
+
+    t_floor = timeit(lambda: fetch(trivial(jnp.float32(1.0))))
+    print(f"floor: {t_floor:.1f} ms")
+
+    model = casc.build_cascade_model(seed=0)
+    plan = build_plan(img_h, img_w, 12, 12, 0.075, wsf)
+    table = window_table(plan)
+    coords_norm = jnp.asarray(table["coords_norm"], jnp.int32)
+    boxes_float = jnp.asarray(table["boxes_float"])
+    n = plan.n_windows
+    caps = tuple(casc.default_capacity_schedule(n, 3))
+    print(f"{which}: {n} windows, caps {caps}")
+
+    params = tuple(
+        jax.tree_util.tree_map(jnp.asarray, p) for p in model.stage_params
+    )
+    stats = tuple(
+        (jnp.asarray(m), jnp.asarray(s))
+        for m, s in zip(model.stage_means, model.stage_stds)
+    )
+    cfgs = tuple(model.stage_configs)
+    img = jnp.asarray(
+        synthetic.make_scene(img_h, img_w, 3, seed=0, min_face=48, max_face=120).image,
+        jnp.float32,
+    )
+
+    def scan_cascade(nms_mn, resample, label, caps_=None, chunk=16384):
+        cc = caps_ or caps
+
+        @jax.jit
+        def run(image):
+            def step(carry, _):
+                im = image.at[0, 0, 0].add(carry * 1e-30)
+                out = casc._cascade_core(
+                    im, coords_norm, boxes_float, params, stats, plan, cfgs,
+                    cc, "mult", (0.5, 0.5, 0.5), False, "crop", chunk,
+                    nms_mn, resample,
+                )
+                return jnp.sum(out[1]), None
+
+            out, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=K)
+            return out
+
+        t = timeit(lambda: fetch(run(img)))
+        print(f"{label:34s}: {(t - t_floor)/K:8.1f} ms/img")
+
+    scan_cascade(1, "pallas", "full cascade (pallas, dev-NMS)")
+    scan_cascade(-1, "pallas", "full cascade (pallas, no NMS)")
+    scan_cascade(-1, "xla", "full cascade (xla,    no NMS)")
+
+    # stage-0 only: extraction + CNN + threshold (no compaction/sort)
+    def stage0_only(resample, label):
+        @jax.jit
+        def run(image):
+            def step(carry, _):
+                im = image.at[0, 0, 0].add(carry * 1e-30)
+                probs0, bott = casc._apply_stage_on_boxes_chunked(
+                    im, boxes_float, None, params[0], cfgs[0],
+                    stats[0][0], stats[0][1], 16384, False, resample,
+                )
+                return jnp.sum(probs0) + jnp.sum(bott[:, 0]), None
+
+            out, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=K)
+            return out
+
+        t = timeit(lambda: fetch(run(img)))
+        print(f"{label:34s}: {(t - t_floor)/K:8.1f} ms/img")
+
+    stage0_only("pallas", "stage0 extract+CNN (pallas)")
+    stage0_only("xla", "stage0 extract+CNN (xla)")
+
+    # compaction cost: argsort vs top_k over n windows
+    pf = jnp.zeros((n,), jnp.float32)
+
+    def sort_test(body, label):
+        @jax.jit
+        def run(p):
+            def step(carry, _):
+                pi = p.at[0].add(carry * 1e-30)
+                return body(pi), None
+
+            out, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=K)
+            return out
+
+        t = timeit(lambda: fetch(run(pf)))
+        print(f"{label:34s}: {(t - t_floor)/K:8.1f} ms")
+
+    sort_test(
+        lambda p: jnp.sum(jnp.argsort(-p)[: caps[0]].astype(jnp.float32)),
+        f"argsort {n} -> take {caps[0]}",
+    )
+    sort_test(
+        lambda p: jnp.sum(jax.lax.top_k(p, caps[0])[1].astype(jnp.float32)),
+        f"top_k   {n} -> {caps[0]}",
+    )
+
+
+if __name__ == "__main__":
+    main()
