@@ -134,8 +134,10 @@ def resolve_resample_impl() -> str:
             return "xla"
     except Exception:  # pragma: no cover - backend probing
         return "xla"
-    # scheduled stage-0 is opt-in until it beats the v1 kernel on-chip
-    return "pallas2" if sched_flag == "on" else "pallas"
+    # scheduled stage-0 (ops/windows_sched.py) is the TPU default: measured
+    # 68.8 vs 77.2 ms/img full-cascade at FDDB density (tools/
+    # profile_cascade_device.py), identical detections; "off" drops to v1
+    return "pallas" if sched_flag == "off" else "pallas2"
 
 
 def resolve_thresholds(n_stages: int) -> List[float]:
@@ -301,8 +303,13 @@ def _cascade_core(
                 plan, stage_configs[0].input_size, stage_configs[0].input_size
             )
         if sched is not None:
+            # scheduled order is consumed as-is: the cascade's window-id
+            # channel carries identity, so un-permuting 100+ MB of windows
+            # would be pure waste — ids map rows back to plan order and the
+            # replicated pad rows are masked out of the alive set below
             wins0 = windows_sched.extract_scheduled(
-                image_f, boxes_float, sched, out_dtype=jnp.bfloat16
+                image_f, boxes_float, sched, out_dtype=jnp.bfloat16,
+                reorder=False,
             )
             probs0, bottleneck = _apply_stage_on_windows_chunked(
                 wins0,
@@ -313,6 +320,8 @@ def _cascade_core(
                 std0,
                 chunk,
             )
+            window_ids0 = jnp.asarray(sched.ids.astype(np.int32))
+            valid0 = jnp.asarray(sched.valid)
         else:
             probs0, bottleneck = _apply_stage_on_boxes_chunked(
                 image_f,
@@ -326,15 +335,19 @@ def _cascade_core(
                 high_precision,
                 "pallas" if resample_impl == "pallas2" else resample_impl,
             )
-        n_windows0 = boxes_float.shape[0]
+            window_ids0 = valid0 = None
+        n_windows0 = probs0.shape[0]
     else:
         windows = extract_windows(image_f, plan)  # (N0, s0, s0, C)
         x = (windows - mean0) / std0
         out0 = cnn.apply_stage(stage_params[0], stage_configs[0], x)
         probs0, bottleneck = out0["probs"], out0["bottleneck"]
         n_windows0 = windows.shape[0]
+        window_ids0 = valid0 = None
     p_fg = probs0[:, 1]
     alive = p_fg > thresholds[0]
+    if valid0 is not None:
+        alive = alive & valid0
     if confidence_mode == cf.FINAL_CONFIDENCE_CALCULATION_AVG:
         conf = p_fg
     elif confidence_mode == cf.FINAL_CONFIDENCE_CALCULATION_MULT:
@@ -342,7 +355,11 @@ def _cascade_core(
     else:  # LAST
         conf = p_fg
 
-    window_ids = jnp.arange(n_windows0, dtype=jnp.int32)
+    window_ids = (
+        window_ids0
+        if window_ids0 is not None
+        else jnp.arange(n_windows0, dtype=jnp.int32)
+    )
     survivors = [jnp.sum(alive.astype(jnp.int32))]
 
     for i in range(1, n_stages):

@@ -235,7 +235,9 @@ def crop_and_resize_impl(
     threaded as a *static* argument from the host orchestration (never read
     from config inside a trace — a config flip must not be baked into a
     cached executable)."""
-    if resample_impl == "pallas" and not high_precision:
+    if resample_impl in ("pallas", "pallas2") and not high_precision:
+        # "pallas2" only changes the cascade's STATIC stage-0 extraction
+        # (ops/windows_sched.py); for dynamic box sets it means the v1 kernel
         from .windows_pallas import crop_and_resize_pallas
 
         return crop_and_resize_pallas(

@@ -12,17 +12,19 @@ Because stage-0 window geometry is a pure function of the static
 :class:`~.pyramid.PyramidPlan`, the remedy is precomputed on the host into
 an :class:`ExtractionSchedule`:
 
-  * windows are tiled in a spatially-blocked order (plan order sweeps
-    whole image columns — see :func:`plan_blocked_order`);
-  * each tile gets the smallest *aligned block cell* (R rows x C cols from
-    a fixed ladder, R | h_pad and C | w_pad) containing the union of its
-    windows' two-tap supports;
-  * tiles are grouped into classes by cell size, one `pallas_call` per
-    class; the image rides as three channel-plane inputs whose BlockSpec
-    index_map reads the per-tile block offsets from a scalar-prefetch
-    operand — the canonical Mosaic gather pattern, so cell loads are
-    pipelined (double-buffered) across grid steps while the kernel builds
-    triangle weights over the R x C cell only.
+  * every WINDOW is assigned the smallest *aligned block cell* (R rows x
+    C cols from a fixed ladder, R | h_pad and C | w_pad) containing its
+    two-tap support;
+  * windows are grouped by cell (same rung AND same block index — windows
+    of different pyramid levels share freely), each group padded to the
+    kernel tile, so a tile's windows share their cell by construction: no
+    spatial-order heuristics and no per-tile escalation;
+  * groups are concatenated into classes by cell size, one `pallas_call`
+    per class; the image rides as three channel-plane inputs whose
+    BlockSpec index_map reads the per-tile block offsets from a
+    scalar-prefetch operand — the canonical Mosaic gather pattern, so cell
+    loads are pipelined (double-buffered) across grid steps while the
+    kernel builds triangle weights over the R x C cell only.
 
 Numerics are bit-identical to the v1 kernel (and so match the XLA
 formulation's u8-quantized output): the sampling positions are computed
@@ -114,40 +116,16 @@ class ExtractionSchedule:
     n_windows: int
     classes: List[_ClassSchedule] = field(default_factory=list)
     positions: Optional[np.ndarray] = None  # (n,) output row of ORIGINAL window i
-    order: Optional[np.ndarray] = None  # (n,) tiling permutation (original idx)
+    order: Optional[np.ndarray] = None  # (n_slots,) original window id per slot
+    # scheduled-order metadata (reorder=False consumers): original window id
+    # per output row (== order), and a validity mask (False on replicated
+    # group-padding rows)
+    ids: Optional[np.ndarray] = None  # (n_slots,)
+    valid: Optional[np.ndarray] = None  # (n_slots,) bool
 
 
 def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-def plan_blocked_order(plan, block_y: int = 4, block_x: int = 8) -> np.ndarray:
-    """Spatially-blocked permutation of a plan's window indices.
-
-    The plan enumerates windows per level x-major with y innermost
-    (ops/pyramid.py window_table — the reference's rectangles.py:391-408
-    order), so a run of consecutive windows sweeps a full image *column*
-    and its two-tap support spans the whole height. This permutation
-    re-orders each level's grid into ``block_y x block_x`` patches so a
-    kernel tile's support is a compact cell. Blocks are wide in x and
-    short in y because column cells are 128-aligned (coarse) while row
-    cells are 16-aligned (fine)."""
-    order = np.empty(plan.n_windows, dtype=np.int64)
-    pos = 0
-    base = 0
-    for s in plan.scales:
-        nx, ny = len(s.xs), len(s.ys)
-        for xb in range(0, nx, block_x):
-            xe = min(xb + block_x, nx)
-            for yb in range(0, ny, block_y):
-                ye = min(yb + block_y, ny)
-                for xi in range(xb, xe):
-                    row = base + xi * ny
-                    cnt = ye - yb
-                    order[pos : pos + cnt] = np.arange(row + yb, row + ye)
-                    pos += cnt
-        base += nx * ny
-    return order
 
 
 def build_schedule(
@@ -156,15 +134,15 @@ def build_schedule(
     img_w: int,
     out_h: int,
     out_w: int,
-    order: Optional[np.ndarray] = None,
 ) -> Optional[ExtractionSchedule]:
-    """Build the tile/class schedule for a static (N, 4) float box array.
+    """Build the cell-grouped schedule for a static (N, 4) float box array.
 
-    ``order`` optionally permutes the windows before tiling (tiles are
-    runs of consecutive windows; a spatially-coherent order keeps their
-    support cells small — see :func:`plan_blocked_order`). The schedule's
-    output mapping composes the permutation back: extraction returns
-    windows in the ORIGINAL box order either way.
+    Each window is binned into the smallest aligned ladder cell containing
+    its (guard-banded) two-tap support; same-cell windows are grouped and
+    tiled together, groups padded to the kernel tile by replicating their
+    last window (masked via ``valid``). Extraction returns windows in the
+    ORIGINAL box order (``reorder=True``) or in scheduled order with the
+    ``ids``/``valid`` row maps (``reorder=False``).
 
     Returns None when the geometry cannot profit from cell bounding (tiny
     images) or the tile shape degenerates (v1's lane-alignment limit) —
@@ -179,79 +157,97 @@ def build_schedule(
     n = boxes.shape[0]
     if n == 0:
         return None
-    if order is not None:
-        boxes = boxes[order]
-    # pad so every ladder rung divides the padded dims: cells are BLOCK
-    # cells (index_map-addressed), so offsets are in cell units
+    # cells are BLOCK cells (index_map-addressed): pad so every ladder rung
+    # divides the padded dims
     h_pad = _ceil_to(img_h, 256)
     w_pad = _ceil_to(img_w, 256)
     sy, sx = _estimate_sample_positions(boxes, img_h, img_w, out_h, out_w)
 
-    n_tiles = -(-n // tile)
-    n_pad = n_tiles * tile
-    if n_pad != n:  # replicate the last window: keeps tile supports tight
-        sy = np.concatenate([sy, np.repeat(sy[-1:], n_pad - n, axis=0)])
-        sx = np.concatenate([sx, np.repeat(sx[-1:], n_pad - n, axis=0)])
+    # per-WINDOW two-tap support, widened by a one-row/col guard band (the
+    # device f32 positions may differ in the last ulp, which can flip a
+    # floor() at integer boundaries)
+    y_lo = np.floor(sy).astype(np.int64)
+    x_lo = np.floor(sx).astype(np.int64)
+    rlo = np.maximum(y_lo.min(axis=1) - 1, 0)
+    rhi = np.minimum(y_lo.max(axis=1) + 2, img_h - 1)
+    clo = np.maximum(x_lo.min(axis=1) - 1, 0)
+    chi = np.minimum(x_lo.max(axis=1) + 2, img_w - 1)
 
-    # per-tile union of two-tap supports, widened by a one-row/col guard
-    # band (the device f32 positions may differ in the last ulp, which can
-    # flip a floor() at integer boundaries)
-    y_lo = np.floor(sy).astype(np.int64).reshape(n_tiles, tile * out_h)
-    x_lo = np.floor(sx).astype(np.int64).reshape(n_tiles, tile * out_w)
-    t_rlo = np.maximum(y_lo.min(axis=1) - 1, 0)
-    t_rhi = np.minimum(y_lo.max(axis=1) + 2, img_h - 1)
-    t_clo = np.maximum(x_lo.min(axis=1) - 1, 0)
-    t_chi = np.minimum(x_lo.max(axis=1) + 2, img_w - 1)
+    r_ladder = [r for r in (64, 128, 256, 512) if r < h_pad] + [h_pad]
+    c_ladder = [c for c in (256, 512) if c < w_pad] + [w_pad]
 
-    r_ladder = [r for r in (64, 128, 256) if r < h_pad] + [h_pad]
-    c_ladder = [c for c in (256,) if c < w_pad] + [w_pad]
-
-    # smallest aligned block cell containing the support: the support fits
-    # rung r iff it does not cross an r-aligned boundary
-    cell_r = np.full(n_tiles, h_pad, np.int64)
+    # smallest rung whose aligned grid contains the support in one cell
+    cell_r = np.full(n, h_pad, np.int64)
     for r in reversed(r_ladder):
-        cell_r[(t_rlo // r) == (t_rhi // r)] = r
-    cell_c = np.full(n_tiles, w_pad, np.int64)
+        cell_r[(rlo // r) == (rhi // r)] = r
+    cell_c = np.full(n, w_pad, np.int64)
     for c in reversed(c_ladder):
-        cell_c[(t_clo // c) == (t_chi // c)] = c
-    roff = t_rlo // cell_r  # block units
-    coff = t_clo // cell_c
+        cell_c[(clo // c) == (chi // c)] = c
+    roff = rlo // cell_r  # block units
+    coff = clo // cell_c
 
     sched = ExtractionSchedule(
         img_h=img_h, img_w=img_w, h_pad=h_pad, w_pad=w_pad,
         out_h=out_h, out_w=out_w, tile=tile, n_windows=n,
     )
-    tile_ids = np.arange(n_tiles)
-    positions = np.empty(n_pad, np.int64)
-    row = 0
+
+    slot_ids: List[np.ndarray] = []  # original window id per output slot
+    valid_parts: List[np.ndarray] = []
+    tile_counter = 0
     for r in r_ladder:
         for c in c_ladder:
-            mask = (cell_r == r) & (cell_c == c)
-            sel = tile_ids[mask]
-            if sel.size == 0:
+            in_class = (cell_r == r) & (cell_c == c)
+            if not in_class.any():
                 continue
+            idx = np.nonzero(in_class)[0]
+            # group by cell block index; stable order keeps plan order
+            key = roff[idx] * (w_pad // c) + coff[idx]
+            grp_order = np.argsort(key, kind="stable")
+            idx = idx[grp_order]
+            key = key[grp_order]
+            starts = np.concatenate(
+                [[0], np.nonzero(np.diff(key))[0] + 1, [idx.size]]
+            )
+            offs_tiles = []
+            for g in range(starts.size - 1):
+                members = idx[starts[g] : starts[g + 1]]
+                g_tiles = -(-members.size // tile)
+                padded = np.concatenate(
+                    [members, np.repeat(members[-1:], g_tiles * tile - members.size)]
+                )
+                slot_ids.append(padded)
+                v = np.zeros(g_tiles * tile, np.bool_)
+                v[: members.size] = True
+                valid_parts.append(v)
+                offs_tiles.append(
+                    np.stack(
+                        [
+                            np.repeat(roff[members[0]], g_tiles),
+                            np.repeat(coff[members[0]], g_tiles),
+                        ]
+                    )
+                )
+            n_tiles_cls = sum(o.shape[1] for o in offs_tiles)
             sched.classes.append(
                 _ClassSchedule(
                     cell_r=int(r),
                     cell_c=int(c),
-                    sel=sel,
+                    sel=np.arange(tile_counter, tile_counter + n_tiles_cls),
                     # (2, tiles): SMEM prefetch operands are padded per
                     # leading row — (tiles, 2) would waste ~512B per tile
-                    offs=np.stack([roff[sel], coff[sel]], axis=0).astype(
-                        np.int32
-                    ),
+                    offs=np.concatenate(offs_tiles, axis=1).astype(np.int32),
                 )
             )
-            for t in sel:
-                positions[t * tile : (t + 1) * tile] = row + np.arange(tile)
-                row += tile
-    if order is None:
-        sched.positions = positions[:n].copy()
-    else:
-        orig_positions = np.empty(n, np.int64)
-        orig_positions[order] = positions[:n]
-        sched.positions = orig_positions
-        sched.order = np.asarray(order, np.int64)
+            tile_counter += n_tiles_cls
+
+    order = np.concatenate(slot_ids)  # (n_slots,) original id per slot
+    valid = np.concatenate(valid_parts)
+    positions = np.empty(n, np.int64)
+    positions[order] = np.arange(order.size)  # any duplicate row is identical
+    sched.order = order
+    sched.ids = order.copy()
+    sched.valid = valid
+    sched.positions = positions
     return sched
 
 
@@ -339,6 +335,7 @@ def extract_scheduled(
     quantize: bool = True,
     interpret: Optional[bool] = None,
     out_dtype=jnp.float32,
+    reorder: bool = True,
 ) -> jnp.ndarray:
     """Extract all scheduled windows from ``image`` (H, W, C).
 
@@ -346,7 +343,10 @@ def extract_scheduled(
     from (it is traced — sampling positions are computed on device so they
     match the other extraction paths bit-for-bit). Returns
     (N, out_h, out_w, C) ``out_dtype`` windows in the original window
-    order. Traceable (jit/vmap-safe).
+    order; with ``reorder=False`` the (N_padded, ...) windows stay in
+    SCHEDULED order (see ``schedule.ids``/``schedule.valid``) and the
+    un-permutation gather is skipped — the mode the cascade uses, since its
+    window-id channel carries identity anyway. Traceable (jit/vmap-safe).
     """
     if interpret is None:
         interpret = not pallas_available()
@@ -362,19 +362,11 @@ def extract_scheduled(
     ]  # (h_pad, w_pad) each
 
     tile, out_h, out_w = schedule.tile, schedule.out_h, schedule.out_w
-    n = schedule.n_windows
     n_tiles = sum(cl.n_tiles for cl in schedule.classes)
-    n_pad = n_tiles * tile
     sy, sx = _sample_positions_jnp(boxes, h, w, out_h, out_w)
-    if schedule.order is not None:
-        ordr = jnp.asarray(schedule.order)
-        sy = sy[ordr]
-        sx = sx[ordr]
-    if n_pad != n:
-        sy = jnp.concatenate([sy, jnp.broadcast_to(sy[-1:], (n_pad - n, out_h))])
-        sx = jnp.concatenate([sx, jnp.broadcast_to(sx[-1:], (n_pad - n, out_w))])
-    sy_t = sy.reshape(n_tiles, tile * out_h)
-    sx_t = sx.reshape(n_tiles, tile * out_w)
+    slots = jnp.asarray(schedule.order)  # (n_slots,) original id per slot
+    sy_t = sy[slots].reshape(n_tiles, tile * out_h)
+    sx_t = sx[slots].reshape(n_tiles, tile * out_w)
 
     outs = []
     for cls in schedule.classes:
@@ -395,6 +387,8 @@ def extract_scheduled(
         out = out.reshape(c, out_h, cls.n_tiles * tile, out_w)
         outs.append(jnp.transpose(out, (2, 1, 3, 0)))
     all_windows = jnp.concatenate(outs, axis=0)
+    if not reorder:
+        return all_windows
     return all_windows[jnp.asarray(schedule.positions)]
 
 
@@ -415,5 +409,4 @@ def schedule_for_plan(plan, out_h: int, out_w: int) -> Optional[ExtractionSchedu
         plan.img_w,
         out_h,
         out_w,
-        order=plan_blocked_order(plan),
     )

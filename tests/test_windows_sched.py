@@ -40,10 +40,7 @@ def _plan_sched_windows(img_h=192, img_w=256, wsf=1.05):
     plan = build_plan(img_h, img_w, 12, 12, 0.075, wsf)
     table = window_table(plan)
     boxes = table["boxes_float"].astype(np.float32)
-    sched = windows_sched.build_schedule(
-        boxes, img_h, img_w, 12, 12,
-        order=windows_sched.plan_blocked_order(plan),
-    )
+    sched = windows_sched.build_schedule(boxes, img_h, img_w, 12, 12)
     return plan, boxes, sched
 
 
@@ -116,27 +113,28 @@ def test_exact_on_power_of_two_boxes(rng):
     np.testing.assert_array_equal(got, ref)
 
 
-def test_order_permutation_roundtrip(rng):
-    """A shuffled tiling order must still return windows in input order."""
+def test_group_padding_roundtrip(rng):
+    """Scattered boxes hit many cell groups with per-group padding; the
+    reorder mapping must still return windows in input order."""
     img = rng.randint(0, 256, size=(160, 384, 3)).astype(np.float32)
-    n = 101  # not a tile multiple: exercises replicated padding
+    n = 101  # groups of odd sizes: exercises replicated padding + ids/valid
     x0 = rng.uniform(0, 340, n)
     y0 = rng.uniform(0, 120, n)
     s = rng.uniform(10, 40, n)
     boxes = np.stack(
         [x0, y0, np.minimum(x0 + s, 384), np.minimum(y0 + s, 160)], 1
     ).astype(np.float32)
-    order = rng.permutation(n)
+    sched = windows_sched.build_schedule(boxes, 160, 384, 12, 12)
     got = windows_sched.extract_scheduled(
-        jnp.asarray(img),
-        jnp.asarray(boxes),
-        windows_sched.build_schedule(boxes, 160, 384, 12, 12, order=order),
-        interpret=True,
+        jnp.asarray(img), jnp.asarray(boxes), sched, interpret=True
     )
     ref = windows_pallas.crop_and_resize_pallas(
         jnp.asarray(img), jnp.asarray(boxes), out_h=12, out_w=12, interpret=True
     )
     _assert_quantized_parity(got, ref, max_frac=5e-3)
+    # scheduled-order metadata: every real window appears exactly once valid
+    real = sched.ids[sched.valid]
+    assert sorted(real.tolist()) == list(range(n))
 
 
 def test_small_image_returns_none():

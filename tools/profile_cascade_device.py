@@ -110,6 +110,7 @@ def main():
 
     scan_cascade(1, "pallas", "full cascade (pallas, dev-NMS)")
     scan_cascade(-1, "pallas", "full cascade (pallas, no NMS)")
+    scan_cascade(1, "pallas2", "full cascade (pallas2, dev-NMS)")
     scan_cascade(-1, "xla", "full cascade (xla,    no NMS)")
 
     # stage-0 only: extraction + CNN + threshold (no compaction/sort)

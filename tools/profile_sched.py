@@ -105,6 +105,15 @@ def main():
         ),
         "v2 scheduled extract (bf16 out)",
     )
+    scan_time(
+        lambda im: jnp.sum(
+            windows_sched.extract_scheduled(
+                im, boxes, sched, out_dtype=jnp.bfloat16, reorder=False
+            )
+            .astype(jnp.float32)[:, 0, 0, 0]
+        ),
+        "v2 scheduled, no reorder",
+    )
 
     from rapidobjectdetectionusingcascadedcnns_tpu.ops.windows import crop_and_resize_impl
 

@@ -121,6 +121,7 @@ def main():
 
     scan_batch(f"full batch={batch} ({ext_mode})")
     scan_batch("full, crop+pallas stage0", ext="crop")
+    scan_batch("full, crop+pallas2 stage0", ext="crop", rs="pallas2")
     scan_batch("full, dev-NMS", nms_mn=1)
 
     # stage-0 only (extraction + CNN over all windows, batched)
