@@ -183,3 +183,30 @@ def test_cascade_uses_scheduled_stage0(rng, monkeypatch):
         np.sort(np.asarray(det_p.boxes), axis=0),
         atol=6.0,
     ) if len(det_x.boxes) == len(det_p.boxes) else None
+
+
+def test_cascade_pallas2_falls_back_on_small_images(rng):
+    """Images below the schedulability threshold must silently use the v1
+    resampler under 'pallas2' and detect identically to the XLA path."""
+    from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+    from rapidobjectdetectionusingcascadedcnns_tpu.data import synthetic
+    from rapidobjectdetectionusingcascadedcnns_tpu.models import cascade as casc
+
+    with cf.overrides(
+        conv_filter_sizes=[8],
+        fc1_size=32,
+        cascade_n_nets=2,
+        img_width=24,
+        window_scale_factor=1.3,
+        min_window_length=0.3,
+        window_extraction_mode="crop",
+    ):
+        model = casc.build_cascade_model(seed=3)
+        img = synthetic.make_scene(100, 120, 1, seed=7, min_face=35, max_face=45).image
+        with cf.overrides(use_pallas_resample="xla"):
+            det_x = casc.CascadeDetector(model).detect(img)
+        with cf.overrides(use_pallas_resample="pallas2"):
+            det_p = casc.CascadeDetector(model).detect(img)
+    ids_x = set(np.asarray(det_x.raw_window_ids).tolist())
+    ids_p = set(np.asarray(det_p.raw_window_ids).tolist())
+    assert len(ids_x ^ ids_p) <= max(2, 0.02 * max(1, len(ids_x)))
