@@ -210,3 +210,37 @@ def test_cascade_pallas2_falls_back_on_small_images(rng):
     ids_x = set(np.asarray(det_x.raw_window_ids).tolist())
     ids_p = set(np.asarray(det_p.raw_window_ids).tolist())
     assert len(ids_x ^ ids_p) <= max(2, 0.02 * max(1, len(ids_x)))
+
+
+def test_batched_program_with_scheduled_stage0(rng):
+    """The scheduled kernel must compose with the batched (vmapped) cascade
+    program — the serving/bench shape (interpret mode on CPU)."""
+    from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+    from rapidobjectdetectionusingcascadedcnns_tpu.data import synthetic
+    from rapidobjectdetectionusingcascadedcnns_tpu.models import cascade as casc
+
+    with cf.overrides(
+        conv_filter_sizes=[8],
+        fc1_size=32,
+        cascade_n_nets=2,
+        img_width=24,
+        window_scale_factor=1.3,
+        min_window_length=0.2,
+        window_extraction_mode="crop",
+        inference_batch_frames=2,
+        inference_merge=True,
+    ):
+        model = casc.build_cascade_model(seed=3)
+        imgs = [
+            synthetic.make_scene(160, 256, 2, seed=s, min_face=40, max_face=60).image
+            for s in (11, 12)
+        ]
+        with cf.overrides(use_pallas_resample="pallas2"):
+            res_p = casc.CascadeDetector(model).detect_batch(imgs)
+        with cf.overrides(use_pallas_resample="xla"):
+            res_x = casc.CascadeDetector(model).detect_batch(imgs)
+
+    for rp, rx in zip(res_p, res_x):
+        ids_p = set(np.asarray(rp.raw_window_ids).tolist())
+        ids_x = set(np.asarray(rx.raw_window_ids).tolist())
+        assert len(ids_p ^ ids_x) <= max(2, 0.02 * max(1, len(ids_x)))
