@@ -87,6 +87,8 @@ def main():
     img_base, folds_dir, truth = fddb.make_synthetic_corpus(
         corpus_dir, n_folds=args.folds, imgs_per_fold=2, seed=7
     )
+    cf.set("fddb_folds_dir", folds_dir)
+    cf.set("fddb_img_base_dir", img_base)
 
     cf.set("window_scale_factor", args.scale)
     cf.set("vertically_enlarge_bboxes", False)  # score plain boxes vs GT boxes

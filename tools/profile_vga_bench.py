@@ -79,7 +79,7 @@ def main():
     chunk = int(cf.get("inference_chunk_size"))
     print(f"ext={ext_mode} resample={resample} n_windows={plan.n_windows} n_scales={plan.n_scales}")
 
-    batch = int(cf.get("inference_batch_frames"))
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else int(cf.get("inference_batch_frames"))
     scenes = [
         synthetic.make_scene(480, 640, 3, seed=s, min_face=48, max_face=120).image
         for s in range(batch)
@@ -161,7 +161,32 @@ def main():
         print(f"{label:36s}: {(t - t_floor)/K:7.1f} ms/batch  {per_frame:6.2f} ms/frame")
 
     stage0_batch("stage0 only (gather)", "gather")
-    stage0_batch("stage0 only (crop+pallas)", "crop")
+
+    # compaction sorts alone: argsort over n_windows + cap, per frame, vmapped
+    n = plan.n_windows
+
+    def sort_probe():
+        pf = jnp.zeros((batch, n), jnp.float32)
+
+        @jax.jit
+        def run(p):
+            def step(carry, _):
+                pi = p.at[0, 0].add(carry * 1e-30)
+
+                def one(row):
+                    order = jnp.argsort(-row)
+                    return jnp.sum(order[: caps[0]].astype(jnp.float32))
+
+                return jnp.sum(jax.vmap(one)(pi)), None
+
+            out, _ = jax.lax.scan(run_init := step, jnp.float32(0.0), None, length=K)
+            return out
+
+        t = timeit(lambda: fetch(run(pf)))
+        per_frame = (t - t_floor) / K / batch
+        print(f"{'argsort probe':36s}: {(t - t_floor)/K:7.1f} ms/batch  {per_frame:6.2f} ms/frame")
+
+    sort_probe()
 
 
 if __name__ == "__main__":
