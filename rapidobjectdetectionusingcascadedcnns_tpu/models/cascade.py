@@ -171,11 +171,14 @@ def _apply_stage_on_boxes_chunked(
     (probs (N, 2), bottleneck (N, B_out))."""
     size = stage_cfg.input_size
     n = boxes.shape[0]
+    prec = jax.lax.Precision.HIGHEST if high_precision else None
     if n <= chunk:
         wins = crop_and_resize_impl(
             image_f, boxes, size, size, True, high_precision, resample_impl
         )
-        out = cnn.apply_stage(params, stage_cfg, (wins - mean) / std, bneck_in)
+        out = cnn.apply_stage(
+            params, stage_cfg, (wins - mean) / std, bneck_in, precision=prec
+        )
         return out["probs"], out["bottleneck"]
 
     n_chunks = -(-n // chunk)
@@ -197,7 +200,7 @@ def _apply_stage_on_boxes_chunked(
         )
         x = (wins - mean) / std
         bn = chunk_bneck if bneck_in is not None else None
-        out = cnn.apply_stage(params, stage_cfg, x, bn)
+        out = cnn.apply_stage(params, stage_cfg, x, bn, precision=prec)
         return out["probs"], out["bottleneck"]
 
     probs, bottleneck = jax.lax.map(one, (boxes_c, bneck_c))
@@ -215,16 +218,22 @@ def _apply_stage_on_windows_chunked(
     mean: jnp.ndarray,
     std: jnp.ndarray,
     chunk: int,
+    high_precision: bool = False,
 ):
     """Stage CNN over pre-extracted windows, lax.map'ed in fixed-size chunks
     (bounds the conv/fc intermediates to one chunk — same rationale as
     :func:`_apply_stage_on_boxes_chunked`, used when extraction already
     materialized the windows, e.g. the scheduled Pallas kernel)."""
     n = wins.shape[0]
+    prec = jax.lax.Precision.HIGHEST if high_precision else None
 
     def stage(wc, bn):
         out = cnn.apply_stage(
-            params, stage_cfg, (wc.astype(jnp.float32) - mean) / std, bn
+            params,
+            stage_cfg,
+            (wc.astype(jnp.float32) - mean) / std,
+            bn,
+            precision=prec,
         )
         return out["probs"], out["bottleneck"]
 
@@ -340,7 +349,12 @@ def _cascade_core(
     else:
         windows = extract_windows(image_f, plan)  # (N0, s0, s0, C)
         x = (windows - mean0) / std0
-        out0 = cnn.apply_stage(stage_params[0], stage_configs[0], x)
+        out0 = cnn.apply_stage(
+            stage_params[0],
+            stage_configs[0],
+            x,
+            precision=jax.lax.Precision.HIGHEST if high_precision else None,
+        )
         probs0, bottleneck = out0["probs"], out0["bottleneck"]
         n_windows0 = windows.shape[0]
         window_ids0 = valid0 = None

@@ -192,6 +192,7 @@ def apply_stage(
     *,
     dropout_keep: float = 1.0,
     dropout_rng: Optional[jax.Array] = None,
+    precision: Optional[jax.lax.Precision] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Forward pass.
 
@@ -200,13 +201,20 @@ def apply_stage(
     ``bottleneck`` (N, bottleneck_out_size) — fc1 activations concatenated
     with the incoming bottleneck, i.e. exactly the tensor the reference feeds
     to the next stage (net.py:139-146, inference_cascade_app.py:79-87).
+
+    ``precision``: matmul/conv precision override. TPU XLA demotes float32
+    matmul operands to bf16 at default precision, so strict-parity runs
+    (``inference_high_precision``) pass ``Precision.HIGHEST`` here — the
+    same knob the resampler honors (ops/windows.py:180-183).
     """
     cdt = cfg.compute_dtype
     if cfg.backbone == "inception":
         from . import inception
 
         fc1 = inception.apply_backbone(params["backbone"], x, dtype=cdt)
-        return _head(params, cfg, fc1, bottleneck_in, dropout_keep, dropout_rng)
+        return _head(
+            params, cfg, fc1, bottleneck_in, dropout_keep, dropout_rng, precision
+        )
     # uniform compute dtype through the trunk (all-bf16 convs/matmuls hit
     # the MXU at full rate and keep fwd/bwd dtypes consistent; TPU MXU
     # accumulates in float32 internally), f32 at the numerical boundaries
@@ -218,18 +226,25 @@ def apply_stage(
             window_strides=(cfg.conv_stride, cfg.conv_stride),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision,
         )
         h = h + layer["b"].astype(cdt)
         h = jax.nn.relu(h)
         h = _max_pool_same(h, cfg.pooling_size, cfg.pooling_stride)
 
     h = h.reshape(h.shape[0], -1)
-    fc1 = jnp.dot(h, params["fc1"]["W"].astype(cdt)) + params["fc1"]["b"].astype(cdt)
+    fc1 = (
+        jnp.dot(h, params["fc1"]["W"].astype(cdt), precision=precision)
+        + params["fc1"]["b"].astype(cdt)
+    )
     fc1 = jax.nn.relu(fc1).astype(jnp.float32)
-    return _head(params, cfg, fc1, bottleneck_in, dropout_keep, dropout_rng)
+    return _head(
+        params, cfg, fc1, bottleneck_in, dropout_keep, dropout_rng, precision
+    )
 
 
-def _head(params, cfg, fc1, bottleneck_in, dropout_keep, dropout_rng):
+def _head(params, cfg, fc1, bottleneck_in, dropout_keep, dropout_rng,
+          precision=None):
     """Shared classifier head: bottleneck concat -> dropout -> fc2 -> softmax
     (net.py:139-165)."""
     cdt = cfg.compute_dtype
@@ -251,7 +266,9 @@ def _head(params, cfg, fc1, bottleneck_in, dropout_keep, dropout_rng):
         h2 = jnp.where(mask, h2 / dropout_keep, 0.0)
 
     logits = (
-        jnp.dot(h2.astype(cdt), params["fc2"]["W"].astype(cdt)).astype(jnp.float32)
+        jnp.dot(
+            h2.astype(cdt), params["fc2"]["W"].astype(cdt), precision=precision
+        ).astype(jnp.float32)
         + params["fc2"]["b"]
     )
     probs = jax.nn.softmax(logits, axis=-1)

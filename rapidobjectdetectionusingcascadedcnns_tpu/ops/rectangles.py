@@ -57,7 +57,11 @@ def intersects(a, b):
 
 
 def iou(a, b):
-    """Pairwise IoU with the reference's +1 inclusive-pixel-area convention."""
+    """Pairwise IoU with the reference's +1 inclusive-pixel-area convention.
+
+    The per-axis extents clamp at zero: without the clamp, boxes disjoint
+    in BOTH axes multiply two negative extents into a large bogus positive
+    intersection (e.g. IoU([0,0,10,10],[130,130,250,250]) came out 23.6)."""
     import numpy as xp
 
     a = xp.asarray(a, dtype=xp.float64)
@@ -66,7 +70,7 @@ def iou(a, b):
     y_a = xp.maximum(a[..., YMIN], b[..., YMIN])
     x_b = xp.minimum(a[..., XMAX], b[..., XMAX])
     y_b = xp.minimum(a[..., YMAX], b[..., YMAX])
-    inter = (x_b - x_a + 1) * (y_b - y_a + 1)
+    inter = xp.maximum(x_b - x_a + 1, 0.0) * xp.maximum(y_b - y_a + 1, 0.0)
     area_a = (a[..., XMAX] - a[..., XMIN] + 1) * (a[..., YMAX] - a[..., YMIN] + 1)
     area_b = (b[..., XMAX] - b[..., XMIN] + 1) * (b[..., YMAX] - b[..., YMIN] + 1)
     return inter / (area_a + area_b - inter)
@@ -78,8 +82,7 @@ def iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def iou_single(a, b) -> float:
-    """Scalar IoU of two xyxy boxes, clamped at 0 for disjoint boxes (the
-    +1 inclusive convention can go negative on them)."""
+    """Scalar IoU of two xyxy boxes (0 for disjoint boxes)."""
     return max(float(iou(np.asarray(a), np.asarray(b))), 0.0)
 
 

@@ -115,12 +115,22 @@ def test_oracle_enumeration_matches_plan():
 
 
 def test_numpy_forward_matches_device(trained, rng):
-    """Oracle CNN forward == jitted apply_stage on the trained weights."""
+    """Oracle CNN forward == jitted apply_stage on the trained weights.
+
+    Strict-precision forward (like the parity sweep's
+    inference_high_precision): TPU XLA demotes default-precision f32
+    matmuls to bf16, so parity at 1e-4 needs Precision.HIGHEST there —
+    a no-op on CPU."""
     model, params_np = trained
-    x = rng.rand(17, 12, 12, 3).astype(np.float32) * 2 - 1
+    import jax
     import jax.numpy as jnp
 
-    out_dev = cnn.apply_stage(model.stage_params[0], model.stage_configs[0], jnp.asarray(x))
+    hp = jax.lax.Precision.HIGHEST
+    x = rng.rand(17, 12, 12, 3).astype(np.float32) * 2 - 1
+    out_dev = cnn.apply_stage(
+        model.stage_params[0], model.stage_configs[0], jnp.asarray(x),
+        precision=hp,
+    )
     probs_np, bneck_np = oracle.forward_stage_np(params_np[0], model.stage_configs[0], x, None)
     np.testing.assert_allclose(probs_np, np.asarray(out_dev["probs"]), atol=1e-4)
     np.testing.assert_allclose(
@@ -130,7 +140,8 @@ def test_numpy_forward_matches_device(trained, rng):
     x1 = rng.rand(17, 24, 24, 3).astype(np.float32) * 2 - 1
     bn = bneck_np.astype(np.float32)
     out_dev1 = cnn.apply_stage(
-        model.stage_params[1], model.stage_configs[1], jnp.asarray(x1), jnp.asarray(bn)
+        model.stage_params[1], model.stage_configs[1], jnp.asarray(x1),
+        jnp.asarray(bn), precision=hp,
     )
     probs_np1, _ = oracle.forward_stage_np(params_np[1], model.stage_configs[1], x1, bn)
     np.testing.assert_allclose(probs_np1, np.asarray(out_dev1["probs"]), atol=1e-4)

@@ -68,7 +68,7 @@ class TestIoU:
         m = R.iou_matrix(a, b)
         assert m.shape == (2, 1)
         assert m[0, 0] == 1.0
-        assert m[1, 0] < 0.0  # disjoint boxes give negative "intersection"
+        assert m[1, 0] == 0.0  # disjoint boxes: zero intersection
 
 
 class TestVerticalEnlarge:
@@ -88,3 +88,19 @@ class TestVerticalEnlarge:
             boxes, enlarge_top=None, enlarge_bottom=0.5, img_heights=np.array([100])
         )
         assert out[0][3] == 99
+
+
+def test_iou_disjoint_both_axes_is_zero():
+    """Regression: two negative per-axis extents used to multiply into a
+    large bogus positive intersection (IoU 23.6 for these boxes)."""
+    import numpy as np
+
+    from rapidobjectdetectionusingcascadedcnns_tpu.ops import rectangles as R
+
+    assert R.iou_single([0, 0, 10, 10], [130, 130, 250, 250]) == 0.0
+    assert R.iou_single([500, 10, 520, 30], [0, 400, 40, 440]) == 0.0
+    m = R.iou_matrix(
+        np.array([[0, 0, 10, 10]], np.float64),
+        np.array([[130, 130, 250, 250], [5, 5, 15, 15]], np.float64),
+    )
+    assert m[0, 0] == 0.0 and m[0, 1] > 0.0
