@@ -91,7 +91,7 @@ def load_flagship():
         return None
 
 
-def evaluate_on_scenes(model, n_scenes=20, seed0=100):
+def evaluate_on_scenes(model, n_scenes=20, seed0=100, threshold=0.5):
     """Scene-level recall / false positives + survivor stats at the
     benchmark inference config."""
     from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
@@ -101,7 +101,7 @@ def evaluate_on_scenes(model, n_scenes=20, seed0=100):
 
     cf.set("window_scale_factor", 1.1)
     cf.set("min_window_length", 0.075)
-    cf.set("foreground_confidence_threshold", 0.5)
+    cf.set("foreground_confidence_threshold", threshold)
     cf.set("nms", cf.NMS_OPENCV)
     cf.set("nms_opencv_min_neighbors", 1)
 
