@@ -126,7 +126,9 @@ def resolve_resample_impl() -> str:
             return "pallas2"
         return configured
     if configured is True:
-        return "pallas"
+        # the legacy boolean form honors the scheduled-extraction toggle the
+        # same way the string 'pallas' form does
+        return "pallas2" if sched_flag == "on" else "pallas"
     if configured is False:
         return "xla"
     try:

@@ -241,7 +241,11 @@ def _affine_warp_batch(images: jnp.ndarray, mats: jnp.ndarray) -> jnp.ndarray:
             images[..., ci],
             precision=jax.lax.Precision.HIGHEST,
         )
-        o = jnp.einsum("npw,npw->np", g, rx)
+        # HIGHEST here too: the default precision would demote operands to
+        # bf16 on TPU and break the bit-exact-no-op guarantee above
+        o = jnp.einsum(
+            "npw,npw->np", g, rx, precision=jax.lax.Precision.HIGHEST
+        )
         outs.append(o)
     out = jnp.stack(outs, axis=-1)
     return out.reshape(n, h, w, c)

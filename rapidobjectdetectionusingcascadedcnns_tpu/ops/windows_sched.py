@@ -173,8 +173,13 @@ def build_schedule(
     clo = np.maximum(x_lo.min(axis=1) - 1, 0)
     chi = np.minimum(x_lo.max(axis=1) + 2, img_w - 1)
 
-    r_ladder = [r for r in (64, 128, 256, 512) if r < h_pad] + [h_pad]
-    c_ladder = [c for c in (256, 512) if c < w_pad] + [w_pad]
+    # only rungs that DIVIDE the padded dim are admissible: an aligned grid of
+    # a non-dividing rung (e.g. 512 when h_pad = 768) would create cells whose
+    # block offsets don't tile the padded image, breaking the invariant that
+    # every cell class addresses in-bounds blocks of its own rung size
+    r_ladder = [r for r in (64, 128, 256, 512) if r < h_pad and h_pad % r == 0]
+    r_ladder += [h_pad]
+    c_ladder = [c for c in (256, 512) if c < w_pad and w_pad % c == 0] + [w_pad]
 
     # smallest rung whose aligned grid contains the support in one cell
     cell_r = np.full(n, h_pad, np.int64)

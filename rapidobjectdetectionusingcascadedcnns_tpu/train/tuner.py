@@ -75,6 +75,14 @@ def value_grids() -> Dict[str, List[Any]]:
     }
 
 
+def _jsonify(value: Any) -> Any:
+    """JSON-shape of a value (tuples -> lists, recursively) for comparing a
+    round-tripped value against its original grid object."""
+    if isinstance(value, (list, tuple)):
+        return [_jsonify(v) for v in value]
+    return value
+
+
 class HyperTuner(abc.ABC):
     """Base tuner over a subset of the value grids."""
 
@@ -166,6 +174,15 @@ class HyperTuner(abc.ABC):
         with open(path) as f:
             self.load_state_dict(json.load(f))
 
+    def canonicalize_value(self, key: str, value: Any) -> Any:
+        """Map a JSON-round-tripped value back to its original grid object so
+        a resumed sweep re-applies the value with the exact type the original
+        run used (JSON turns tuples into lists silently)."""
+        for gv in self.grids.get(key, ()):
+            if gv == value or _jsonify(gv) == _jsonify(value):
+                return gv
+        return value
+
     @staticmethod
     def override_configuration_entry(cf_key: str, value: Any) -> None:
         """cf.set with the reference's consistency side effects
@@ -240,9 +257,28 @@ class HyperTunerRandom(HyperTuner):
         super().load_state_dict(state)
         version, internal, gauss = state["rng_state"]
         self._rng.setstate((version, tuple(internal), gauss))
-        self._current = dict(state["current"])
-        self.results = list(state["results"])
+        self._current = {
+            k: self.canonicalize_value(k, v) for k, v in state["current"].items()
+        }
+        self.results = [
+            {
+                **r,
+                "config": {
+                    k: self.canonicalize_value(k, v)
+                    for k, v in r.get("config", {}).items()
+                },
+            }
+            for r in state["results"]
+        ]
         self.best = state["best"]
+        if self.best is not None:
+            self.best = {
+                **self.best,
+                "config": {
+                    k: self.canonicalize_value(k, v)
+                    for k, v in self.best.get("config", {}).items()
+                },
+            }
 
 
 class HyperTunerSuccessive(HyperTuner):
@@ -339,6 +375,9 @@ class HyperTunerSuccessive(HyperTuner):
         self._param_idx = int(state["param_idx"])
         self._value_idx = int(state["value_idx"])
         self._scores = {k: list(v) for k, v in state["scores"].items()}
-        self.best_values = dict(state["best_values"])
+        self.best_values = {
+            k: self.canonicalize_value(k, v)
+            for k, v in state["best_values"].items()
+        }
         # (kept winners are re-applied by _apply_current_settings each
         # session, mirroring the reference's restore_best_values)

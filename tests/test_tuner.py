@@ -137,3 +137,40 @@ class TestPersistence:
             tuner_mod.HyperTunerSuccessive(["dropout_rate"]).load_state(path)
         with pytest.raises(ValueError):
             tuner_mod.HyperTunerRandom(["pooling_size"], seed=0).load_state(path)
+
+    def test_tuple_grid_values_survive_json_roundtrip(self, tmp_path):
+        """JSON silently turns tuples into lists; a resumed sweep must
+        re-apply values with the ORIGINAL grid type (advisor round 2)."""
+        cf.set("tuning_main_criteria", "f1_score")
+        t = tuner_mod.HyperTunerRandom(["dropout_rate"], seed=3)
+        # a grid carrying tuple values (e.g. resize buckets in a custom grid)
+        t.grids["dropout_rate"] = [(12, 12), (24, 24), (48, 48)]
+        t.tune()
+        t.receive_results({"f1_score": 0.7})
+        path = str(tmp_path / "tuner.json")
+        t.save_state(path)
+
+        t2 = tuner_mod.HyperTunerRandom(["dropout_rate"], seed=0)
+        t2.grids["dropout_rate"] = [(12, 12), (24, 24), (48, 48)]
+        t2.load_state(path)
+        assert isinstance(t2._current["dropout_rate"], tuple)
+        assert t2._current["dropout_rate"] == t._current["dropout_rate"]
+        assert isinstance(t2.best["config"]["dropout_rate"], tuple)
+
+    def test_successive_tuple_best_values_roundtrip(self, tmp_path):
+        cf.set("tuning_main_criteria", "accuracy")
+        t = tuner_mod.HyperTunerSuccessive(["pooling_size"])
+        t.grids["pooling_size"] = [(2, 2), (3, 3)]
+        t._required_iterations = 2
+        for score in (0.6, 0.8):
+            t.tune()
+            t.receive_results({"accuracy": score})
+        t.tune()  # finishes pooling_size
+        assert t.best_values == {"pooling_size": (3, 3)}
+        path = str(tmp_path / "tuner.json")
+        t.save_state(path)
+        t2 = tuner_mod.HyperTunerSuccessive(["pooling_size"])
+        t2.grids["pooling_size"] = [(2, 2), (3, 3)]
+        t2.load_state(path)
+        assert t2.best_values == {"pooling_size": (3, 3)}
+        assert isinstance(t2.best_values["pooling_size"], tuple)

@@ -244,3 +244,39 @@ def test_batched_program_with_scheduled_stage0(rng):
         ids_p = set(np.asarray(rp.raw_window_ids).tolist())
         ids_x = set(np.asarray(rx.raw_window_ids).tolist())
         assert len(ids_p ^ ids_x) <= max(2, 0.02 * max(1, len(ids_x)))
+
+
+def test_ladder_on_odd_multiple_of_256_pads():
+    """img_h in 513..768 pads to 768, which 512 does NOT divide — the ladder
+    must drop non-dividing rungs so every cell class tiles the padded dims
+    (advisor round 2)."""
+    img_h, img_w = 600, 1280  # h_pad=768 (odd multiple of 256), w_pad=1280
+    plan = build_plan(img_h, img_w, 12, 12, 0.05, 1.1)
+    table = window_table(plan)
+    boxes = table["boxes_float"].astype(np.float32)
+    sched = windows_sched.build_schedule(boxes, img_h, img_w, 12, 12)
+    assert sched is not None
+    assert sched.h_pad == 768 and sched.w_pad == 1280
+    for c in sched.classes:
+        assert sched.h_pad % c.cell_r == 0
+        assert sched.w_pad % c.cell_c == 0
+        assert ((c.offs[0] + 1) * c.cell_r <= sched.h_pad).all()
+        assert ((c.offs[1] + 1) * c.cell_c <= sched.w_pad).all()
+    # every window still gets exactly one (unique) output slot
+    assert sorted(sched.positions.tolist()) == sorted(set(sched.positions.tolist()))
+    assert len(sched.positions) == plan.n_windows
+
+
+def test_resample_impl_boolean_honors_sched_flag():
+    """use_pallas_resample=True (legacy boolean) must honor
+    stage0_scheduled_extraction='on' exactly like the string 'pallas' form
+    (advisor round 2)."""
+    from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+    from rapidobjectdetectionusingcascadedcnns_tpu.models import cascade as casc
+
+    with cf.overrides(use_pallas_resample=True, stage0_scheduled_extraction="on"):
+        assert casc.resolve_resample_impl() == "pallas2"
+    with cf.overrides(use_pallas_resample=True, stage0_scheduled_extraction="off"):
+        assert casc.resolve_resample_impl() == "pallas"
+    with cf.overrides(use_pallas_resample="pallas", stage0_scheduled_extraction="on"):
+        assert casc.resolve_resample_impl() == "pallas2"
