@@ -68,6 +68,7 @@ def _log_current_config(extra_cascade: bool = False) -> None:
         "img_width",
         "data_augmentation_online",
         "standardization",
+        "train_mesh_devices",
     ):
         log.log(".. {}: {}".format(key, cf.get(key)))
     if extra_cascade:

@@ -141,6 +141,11 @@ def _build_defaults() -> Dict[str, Any]:
     cf["tuning_main_criteria"] = "f1_score"
     cf["remove_broken_images_before_training"] = False
     cf["seed"] = 42  # global RNG seed policy (jax.random key threading)
+    # Data-parallel training mesh (TPU addition, SURVEY.md §2.6 item 1):
+    # None/1 => single device; "all" => every visible chip; n => first n.
+    # Trainers shard each batch's leading axis over the mesh, parameters stay
+    # replicated, and XLA inserts the gradient all-reduce over ICI.
+    cf["train_mesh_devices"] = None
 
     # ----- architecture (reference config.py:239-295) -----
     cf["fc1_size"] = 512

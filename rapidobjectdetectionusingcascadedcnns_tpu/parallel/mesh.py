@@ -39,6 +39,28 @@ def get_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def mesh_from_config() -> Optional[Mesh]:
+    """Resolve the training mesh from ``train_mesh_devices``.
+
+    ``None``/``1``/``0`` => single-device (no mesh); ``"all"``/``-1`` => all
+    visible devices; ``n`` => the first n devices. Returns None when only one
+    device would participate (the trainers then skip all sharding plumbing).
+    This is the config hook run_train_*.py uses to turn on batch-sharded
+    data-parallel training — the capability the reference's single-GPU design
+    rules out (utils/cpu_gpu_switcher.py:14-17, SURVEY.md §2.6 item 1).
+    """
+    from .. import config as cf
+
+    want = cf.get("train_mesh_devices")
+    if want in (None, 0, 1, False):
+        return None
+    available = len(jax.devices())
+    n = available if want in ("all", -1, True) else min(int(want), available)
+    if n <= 1:
+        return None
+    return get_mesh(n)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch/window) axis across the mesh."""
     return NamedSharding(mesh, P(DATA_AXIS))

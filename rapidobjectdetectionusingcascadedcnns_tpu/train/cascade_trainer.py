@@ -161,8 +161,17 @@ def reweight_confidence(
 class CascadeTrainer:
     """Sequentially trains the boosted cascade and assembles a CascadeModel."""
 
-    def __init__(self, provider: DatasetProvider, seed: Optional[int] = None):
+    def __init__(
+        self, provider: DatasetProvider, seed: Optional[int] = None, mesh=None
+    ):
+        """``mesh``: optional ``jax.sharding.Mesh`` passed to every stage's
+        :class:`SingleNetTrainer` for batch-sharded data-parallel training
+        (defaults to the ``train_mesh_devices`` config resolution inside the
+        stage trainer, so apps pick it up from config alone)."""
+        from ..parallel import mesh as mesh_mod
+
         self.provider = provider
+        self.mesh = mesh if mesh is not None else mesh_mod.mesh_from_config()
         self.seed = cf.get("seed") if seed is None else seed
         self.n_nets = cf.get("cascade_n_nets")
         self.sizes = cnn.stage_input_sizes(
@@ -312,6 +321,7 @@ class CascadeTrainer:
                     nr_max=self.n_nets,
                     seed=self.seed + stage + 1000 * trial,
                     use_inception=use_inception,
+                    mesh=self.mesh,
                 )
                 try:
                     trainer.train()

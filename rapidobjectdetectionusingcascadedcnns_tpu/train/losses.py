@@ -25,6 +25,7 @@ def weighted_cross_entropy(
     *,
     weighted: bool = True,
     normalize: bool = False,
+    valid_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Sparse softmax cross entropy, optionally class-weighted.
 
@@ -32,13 +33,18 @@ def weighted_cross_entropy(
     distribution (data/datasets.py:662-671). With ``weighted`` the foreground
     loss is scaled to the level of the imbalance (net_trainable.py:73-94);
     ``normalize`` makes the two weights sum to 1 (net_trainable.py:75-80).
+    ``valid_mask`` excludes padding rows (batches padded to mesh-divisible
+    sizes for data-parallel training) from both numerator and denominator.
     """
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(log_probs, labels[:, None].astype(jnp.int32), axis=1)[
         :, 0
     ]
     if not weighted:
-        return jnp.mean(nll)
+        if valid_mask is None:
+            return jnp.mean(nll)
+        m = valid_mask.astype(jnp.float32)
+        return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
     p = positive_proportion
     if normalize:
@@ -49,6 +55,8 @@ def weighted_cross_entropy(
         fg_w = (1.0 - p) / p
     y = labels.astype(jnp.float32)
     weights = y * (fg_w - bg_w) + bg_w
+    if valid_mask is not None:
+        weights = weights * valid_mask.astype(jnp.float32)
     # tf.losses.sparse_softmax_cross_entropy reduces by SUM_BY_NONZERO_WEIGHTS:
     # sum(w * nll) / count(w != 0)
     nonzero = jnp.sum((weights != 0).astype(jnp.float32))
@@ -56,16 +64,24 @@ def weighted_cross_entropy(
 
 
 def soft_fbeta_score(
-    probs: jnp.ndarray, labels: jnp.ndarray, beta: float
+    probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    beta: float,
+    valid_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Differentiable F-beta from soft counts (network/net.py:418-442).
 
     ``probs``: (N, 2) softmax outputs; ``labels``: (N,) int {0, 1}.
     All divisions are guarded to 0 exactly like the tf.cond guards.
+    ``valid_mask`` zeroes the soft-count contribution of padding rows.
     """
     y = labels.astype(jnp.float32)
     p_fg = probs[:, 1]
     p_bg = probs[:, 0]
+    if valid_mask is not None:
+        m = valid_mask.astype(jnp.float32)
+        p_fg = p_fg * m
+        p_bg = p_bg * m
     tp = jnp.sum(p_fg * y)
     fp = jnp.sum(p_fg * (1.0 - y))
     fn = jnp.sum(p_bg * y)
@@ -81,9 +97,14 @@ def soft_fbeta_score(
     )
 
 
-def soft_fbeta_loss(probs: jnp.ndarray, labels: jnp.ndarray, beta: float) -> jnp.ndarray:
+def soft_fbeta_loss(
+    probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    beta: float,
+    valid_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """Loss = 1 - soft F-beta (net_trainable.py:102-107)."""
-    return 1.0 - soft_fbeta_score(probs, labels, beta)
+    return 1.0 - soft_fbeta_score(probs, labels, beta, valid_mask)
 
 
 def fc_regularization(
@@ -112,12 +133,14 @@ def total_loss(
     normalize: bool = False,
     l2_strength: float = 0.0,
     l1_strength: float = 0.0,
+    valid_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full training loss matching NetTrainable._set_up_architecture_training
     (net_trainable.py:57-124): soft F-beta when ``f_beta`` is set, otherwise
-    (weighted) cross entropy; plus FC regularizers."""
+    (weighted) cross entropy; plus FC regularizers. ``valid_mask`` excludes
+    mesh-padding rows."""
     if f_beta is not None:
-        loss = soft_fbeta_loss(outputs["probs"], labels, f_beta)
+        loss = soft_fbeta_loss(outputs["probs"], labels, f_beta, valid_mask)
     else:
         loss = weighted_cross_entropy(
             outputs["logits"],
@@ -125,6 +148,7 @@ def total_loss(
             positive_proportion,
             weighted=weighted,
             normalize=normalize,
+            valid_mask=valid_mask,
         )
     if l2_strength > 0 or l1_strength > 0:
         loss = loss + fc_regularization(params, l2_strength, l1_strength)

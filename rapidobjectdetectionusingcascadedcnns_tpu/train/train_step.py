@@ -82,12 +82,14 @@ def make_train_step(
 ) -> Callable:
     """Build the fused jitted train step.
 
-    Signature: ``step(state, images_u8, labels, bottlenecks, mean, std, rng)
-    -> (state, loss)``. ``bottlenecks`` may be a dummy array when the stage
-    has no bottleneck input (static in cfg).
+    Signature: ``step(state, images_u8, labels, bottlenecks, mean, std, rng,
+    valid_mask=None) -> (state, loss)``. ``bottlenecks`` may be a dummy array
+    when the stage has no bottleneck input (static in cfg). ``valid_mask``
+    (None or (N,) bool) excludes padding rows so data-parallel batches can be
+    padded to mesh-divisible sizes without perturbing the loss/gradients.
     """
 
-    def loss_fn(params, images_f32, labels, bottlenecks, rng):
+    def loss_fn(params, images_f32, labels, bottlenecks, rng, valid_mask):
         aug_key, drop_key = jax.random.split(rng)
         x = images_f32
         if augment_config is not None:
@@ -111,14 +113,18 @@ def make_train_step(
             normalize=loss_settings.normalize,
             l2_strength=loss_settings.l2_strength,
             l1_strength=loss_settings.l1_strength,
+            valid_mask=valid_mask,
         )
         return loss
 
     @jax.jit
-    def step(state: TrainState, images_u8, labels, bottlenecks, mean, std, rng):
+    def step(
+        state: TrainState, images_u8, labels, bottlenecks, mean, std, rng,
+        valid_mask=None,
+    ):
         x = (images_u8.astype(jnp.float32) - mean) / std
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, x, labels, bottlenecks, rng
+            state.params, x, labels, bottlenecks, rng, valid_mask
         )
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params

@@ -58,11 +58,28 @@ class SingleNetTrainer:
         seed: Optional[int] = None,
         snapshot_full_path: str = "",
         use_inception: bool = False,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` for data-parallel
+        training — every batch's leading axis is sharded over the mesh,
+        parameters are replicated, and XLA inserts the gradient all-reduce
+        over ICI (SURVEY.md §2.6 item 1; the reference trains on exactly one
+        device, network/net_trainable.py:159-336 + cpu_gpu_switcher.py:14-17).
+        When None, the ``train_mesh_devices`` config key is consulted
+        (parallel/mesh.mesh_from_config), so ``run_train_*.py`` picks up
+        multi-chip training from config alone."""
+        from ..parallel import mesh as mesh_mod
+
         self.ds = dataset
         self.nr = nr
         self.nr_max = nr_max
         self.f_beta = f_beta
+        self.mesh = mesh if mesh is not None else mesh_mod.mesh_from_config()
+        if self.mesh is not None:
+            log.log(
+                "data-parallel training over {} devices (batch axis sharded, "
+                "params replicated)".format(self.mesh.devices.size)
+            )
 
         # the reference disables F-beta when positives dominate
         # (net_trainable.py:66-69)
@@ -94,6 +111,11 @@ class SingleNetTrainer:
         self.iterations_total = int(cf.get("epochs_total") * self.iterations_per_epoch)
 
         seed = cf.get("seed") if seed is None else seed
+        # one seed policy for everything this trainer draws: jit-side RNG via
+        # the threaded key, host-side batch order via seeded iterators (an
+        # unseeded iterator would make training irreproducible across runs —
+        # and break single-vs-mesh metric identity)
+        self._seed = seed + nr
         self._rng_key = jax.random.PRNGKey(seed + nr)
 
         optimizer = opt_mod.optimizer_from_config(self.iterations_total)
@@ -141,6 +163,16 @@ class SingleNetTrainer:
         self._mean = jnp.asarray(mean)
         self._std = jnp.asarray(std)
 
+        if self.mesh is not None:
+            from ..parallel import mesh as mesh_mod
+
+            # replicate everything the steps close over; batches are sharded
+            # per call in _place_batch
+            self.state = mesh_mod.replicate(self.mesh, self.state)
+            self._mean, self._std = mesh_mod.replicate(
+                self.mesh, (self._mean, self._std)
+            )
+
         # best-snapshot tracking
         self.best_val_results: Optional[Dict[str, float]] = None
         self.best_params = None
@@ -149,36 +181,59 @@ class SingleNetTrainer:
 
     # ---------------- helpers ----------------
 
-    def _dummy_bottlenecks(self, n: int):
-        size = self.stage_config.bottleneck_in_size
-        return jnp.zeros((n, size or 1), jnp.float32)
-
-    def _batch_bottlenecks(self, batch):
+    def _batch_bottlenecks(self, batch) -> np.ndarray:
         if self.stage_config.bottleneck_in_size is None:
-            return self._dummy_bottlenecks(batch.n_samples)
+            return np.zeros((batch.n_samples, 1), np.float32)
         if batch.bottlenecks is None:
             raise ValueError(
                 "stage {} requires bottlenecks from the previous net".format(self.nr)
             )
-        return jnp.asarray(batch.bottlenecks)
+        return np.asarray(batch.bottlenecks)
+
+    def _place_batch(self, batch):
+        """Place one host batch on device(s).
+
+        Single device: plain device transfers, mask of ones. With a mesh: the
+        leading axis is padded to a device multiple (padding rows excluded
+        from loss/metrics via the mask) and sharded over the mesh's data
+        axis. Returns (images, labels, bottlenecks, valid_mask)."""
+        images = np.asarray(batch.images)
+        labels = np.asarray(batch.labels)
+        bneck = self._batch_bottlenecks(batch)
+        if self.mesh is None:
+            return (
+                jnp.asarray(images),
+                jnp.asarray(labels),
+                jnp.asarray(bneck),
+                jnp.ones((batch.n_samples,), bool),
+            )
+        from ..parallel import mesh as mesh_mod
+
+        d = self.mesh.devices.size
+        images_p, n = mesh_mod.pad_to_multiple(images, d)
+        labels_p, _ = mesh_mod.pad_to_multiple(labels, d)
+        bneck_p, _ = mesh_mod.pad_to_multiple(bneck, d)
+        mask = np.arange(images_p.shape[0]) < n
+        return mesh_mod.shard_batch(self.mesh, images_p, labels_p, bneck_p, mask)
 
     def evaluate_split(
         self, split: DatasetSplit, log_line: Optional[str] = None
     ) -> Dict[str, float]:
         """Full-split metric evaluation in batches (net.py:282-332,445-483)."""
-        it = split.new_default_iterator(cf.get("max_batch_size"))
+        it = split.new_default_iterator(cf.get("max_batch_size"), seed=self._seed)
         totals: Dict[str, float] = {}
         n_batches = 0
         while it.in_first_epoch:
             batch = it.next_batch
+            images, labels, bneck, mask = self._place_batch(batch)
             counts = self._eval_step(
                 self.state.params,
-                jnp.asarray(batch.images),
-                jnp.asarray(batch.labels),
-                self._batch_bottlenecks(batch),
+                images,
+                labels,
+                bneck,
                 self._mean,
                 self._std,
-                jnp.ones((batch.n_samples,), bool),
+                mask,
             )
             for k, v in counts.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
@@ -222,19 +277,21 @@ class SingleNetTrainer:
         while it.in_first_epoch:
             batch = it.next_batch
             end = start + batch.n_samples
+            images, labels, bneck_in, _ = self._place_batch(batch)
             best, probs, bneck = self._predict_step(
                 self.state.params,
-                jnp.asarray(batch.images),
-                jnp.asarray(batch.labels),
-                self._batch_bottlenecks(batch),
+                images,
+                labels,
+                bneck_in,
                 self._mean,
                 self._std,
             )
-            label_predictions[start:end] = np.asarray(best)
+            # [: n_samples] drops mesh-padding rows (no-op on single device)
+            label_predictions[start:end] = np.asarray(best)[: batch.n_samples]
             if return_probabilities:
-                probabilities[start:end] = np.asarray(probs)
+                probabilities[start:end] = np.asarray(probs)[: batch.n_samples]
             if update_bottlenecks:
-                new_bottlenecks[start:end] = np.asarray(bneck)
+                new_bottlenecks[start:end] = np.asarray(bneck)[: batch.n_samples]
             start = end
 
         if update_bottlenecks:
@@ -267,7 +324,9 @@ class SingleNetTrainer:
 
         from ..data.prefetch import PrefetchIterator
 
-        it = self.ds.train.new_default_iterator(cf.get("batch_size"))
+        it = self.ds.train.new_default_iterator(
+            cf.get("batch_size"), seed=self._seed
+        )
         step = 0
         while it.epoch < cf.get("epochs_total"):
             if cancel:
@@ -278,14 +337,16 @@ class SingleNetTrainer:
             for batch in PrefetchIterator(iter(it), depth=2):
                 step += 1
                 self._rng_key, step_key = jax.random.split(self._rng_key)
+                images, labels, bneck, mask = self._place_batch(batch)
                 self.state, loss = self._train_step(
                     self.state,
-                    jnp.asarray(batch.images),
-                    jnp.asarray(batch.labels),
-                    self._batch_bottlenecks(batch),
+                    images,
+                    labels,
+                    bneck,
                     self._mean,
                     self._std,
                     step_key,
+                    mask,
                 )
 
                 if step % interrupt_often == 1 or step == self.iterations_total:
