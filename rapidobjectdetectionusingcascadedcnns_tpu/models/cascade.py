@@ -100,6 +100,25 @@ def default_capacity_schedule(n_windows: int, n_stages: int) -> List[int]:
     return caps
 
 
+def escalate_capacities(
+    capacities: Sequence[int], n_windows: int
+) -> Optional[List[int]]:
+    """Double every survivor capacity, clamped by the window count that can
+    actually reach each stage. Returns None when the buffers are already
+    fully open (nothing could have been dropped) — the shared step of the
+    saturation re-dispatch loop used by both the single-device detector and
+    the window-sharded path (reference-unbounded survivor semantics,
+    app/inference_cascade_app.py:217-240)."""
+    new_caps, bound = [], n_windows
+    for c in capacities:
+        nc = min(bound, _round_up(c * 2, 128))
+        new_caps.append(nc)
+        bound = nc
+    if tuple(new_caps) == tuple(capacities):
+        return None
+    return new_caps
+
+
 def resolve_extraction_mode(plan: PyramidPlan) -> str:
     """'gather' (per-level fused resize+gather) for coarse pyramids, 'crop'
     (chunked interpolation einsum) for dense ones — the unrolled gather graph
@@ -887,14 +906,8 @@ class CascadeDetector:
 
         caps = list(capacities)
         for _ in range(int(cf.get("cascade_saturation_max_retries"))):
-            # double every capacity, clamped by the window count that can
-            # actually reach the stage (so fully-open buffers stop growing)
-            new_caps, bound = [], plan.n_windows
-            for c in caps:
-                nc = min(bound, _round_up(c * 2, 128))
-                new_caps.append(nc)
-                bound = nc
-            if tuple(new_caps) == tuple(caps):
+            new_caps = escalate_capacities(caps, plan.n_windows)
+            if new_caps is None:
                 return result  # buffers already fully open; nothing dropped
             caps = new_caps
             log.log(

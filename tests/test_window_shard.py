@@ -34,12 +34,11 @@ def small_cascade():
 
 def test_sharded_detections_match_single_device(mesh8, small_cascade):
     # a dense-ish plan (scale factor 1.02) so the window axis is worth
-    # splitting: the FDDB-density regime at test-friendly size
+    # splitting: the FDDB-density regime at test-friendly size. Saturation
+    # re-dispatch stays ON — both paths now share the escalation semantics.
     cf.set("window_scale_factor", 1.02)
     cf.set("window_extraction_mode", "crop")
-    # compare under IDENTICAL capacities: the sharded path has no
-    # saturation re-dispatch, so keep the single-device path from escalating
-    cf.set("cascade_saturation_redispatch", False)
+    cf.set("cascade_saturation_redispatch", True)
     scene = synthetic.make_scene(100, 120, n_faces=2, seed=5, min_face=30, max_face=50)
 
     det = cascade.CascadeDetector(small_cascade)
@@ -59,6 +58,68 @@ def test_sharded_detections_match_single_device(mesh8, small_cascade):
     assert sorted(map(tuple, sharded.boxes.tolist())) == sorted(
         map(tuple, single.boxes.tolist())
     )
+
+
+def test_sharded_saturation_redispatch_matches_single_device(mesh8, small_cascade):
+    """A scene engineered to saturate (threshold 0 keeps EVERY window alive,
+    with a deliberately tiny capacity schedule) must re-dispatch with doubled
+    capacities on the sharded path exactly like the single-device path, and
+    end with identical, untruncated survivor sets (verdict r2 item 2a)."""
+    cf.set("window_scale_factor", 1.1)
+    cf.set("window_extraction_mode", "crop")
+    cf.set("cascade_saturation_redispatch", True)
+    cf.set("foreground_confidence_threshold", 0.0)  # everything survives
+    cf.set("cascade_capacity_schedule", [128, 128])
+    try:
+        scene = synthetic.make_scene(
+            100, 120, n_faces=1, seed=11, min_face=40, max_face=60
+        )
+        det = cascade.CascadeDetector(small_cascade)
+        single = det.detect(scene.image)
+        # the engineered schedule really saturates: re-dispatch opened it up
+        assert single.n_survivors_per_stage[0] > 128
+        assert single.n_survivors_per_stage[0] == single.n_windows
+
+        det2 = cascade.CascadeDetector(small_cascade)
+        sharded = window_shard.detect_window_sharded(det2, scene.image, mesh8)
+        assert sharded.n_survivors_per_stage == single.n_survivors_per_stage
+        assert sorted(map(tuple, sharded.raw_boxes.tolist())) == sorted(
+            map(tuple, single.raw_boxes.tolist())
+        )
+        np.testing.assert_allclose(
+            np.sort(sharded.raw_confidences), np.sort(single.raw_confidences),
+            atol=0,
+        )
+    finally:
+        cf.set("cascade_capacity_schedule", None)
+        cf.set("foreground_confidence_threshold", 0.5)
+
+
+def test_sharded_redispatch_off_warns_and_truncates(mesh8, small_cascade):
+    """With re-dispatch disabled the sharded path truncates (round-1
+    behavior) but must say so in the log instead of silently."""
+    from rapidobjectdetectionusingcascadedcnns_tpu.utils import log as log_mod
+
+    cf.set("window_scale_factor", 1.1)
+    cf.set("window_extraction_mode", "crop")
+    cf.set("cascade_saturation_redispatch", False)
+    cf.set("foreground_confidence_threshold", 0.0)
+    cf.set("cascade_capacity_schedule", [128, 128])
+    try:
+        scene = synthetic.make_scene(
+            100, 120, n_faces=1, seed=11, min_face=40, max_face=60
+        )
+        det = cascade.CascadeDetector(small_cascade)
+        before = len(log_mod.log_lines())
+        res = window_shard.detect_window_sharded(det, scene.image, mesh8)
+        assert res.n_survivors_per_stage[0] > 128  # saturated
+        assert len(res.raw_boxes) <= 128  # and truncated
+        tail = "\n".join(log_mod.log_lines()[before:])
+        assert "saturated" in tail
+    finally:
+        cf.set("cascade_capacity_schedule", None)
+        cf.set("foreground_confidence_threshold", 0.5)
+        cf.set("cascade_saturation_redispatch", True)
 
 
 def test_sharded_result_is_actually_sharded(mesh8, small_cascade):
