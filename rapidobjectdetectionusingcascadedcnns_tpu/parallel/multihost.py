@@ -179,3 +179,89 @@ def rehearsal(global_batch: int = 32, seed: int = 0) -> Dict[str, Any]:
         ),
         "host_corpus_len": len(local),
     }
+
+
+def workflow_rehearsal(
+    work_dir: str, epochs: int = 2, seed: int = 0
+) -> Dict[str, Any]:
+    """The full multi-host TRAINING WORKFLOW, not just one step: a real
+    multi-epoch :class:`~..train.trainer.SingleNetTrainer.train` run over the
+    global mesh, checkpoint export on process 0, restore on EVERY process,
+    and a post-restore evaluation that must be identical across processes
+    (and to the exporting trainer's own evaluation).
+
+    This rehearses the deployment shape the reference cannot express
+    (single process, one GPU — SURVEY.md §2.6): N processes run the same
+    trainer code, batches are globally sharded, gradients all-reduce over
+    ICI/DCN, and the checkpoint artifact round-trips across hosts. The
+    processes here share one filesystem; a multi-node deployment would swap
+    the export path for shared storage (the npz format needs nothing else).
+    """
+    import os
+
+    import jax
+    from jax.experimental import multihost_utils
+
+    from .. import config as cf
+    from ..train.cascade_trainer import SyntheticProvider
+    from ..train.trainer import SingleNetTrainer
+
+    proc = jax.process_index()
+
+    cf.set("conv_filter_sizes", [8])
+    cf.set("fc1_size", 32)
+    cf.set("compute_dtype", "float32")
+    cf.set("optimizer", cf.OPTIMIZER_ADAM)
+    cf.set("learning_rate_init", 0.003)
+    cf.set("data_augmentation_online", False)
+    cf.set("dropout_rate", 1.0)
+    cf.set("batch_size", 32)
+    cf.set("max_batch_size", 64)
+    cf.set("epochs_total", epochs)
+    cf.set("n_max_constant_evals", None)
+    # per-process scratch for snapshots/summaries (the shared session_key
+    # would otherwise race on one file)
+    cf.set("snapshot_dir", os.path.join(work_dir, "snap_p{}".format(proc)))
+    cf.set("summary_dir", os.path.join(work_dir, "summary_p{}".format(proc)))
+
+    mesh = global_mesh()
+    # identical corpora on every process: batches assemble identically, so
+    # device_put against the global sharding sees consistent host values
+    provider = SyntheticProvider(32, 32, [12], seed=seed)
+    ds = provider.dataset(12)
+
+    trainer = SingleNetTrainer(ds, f_beta=None, seed=seed, mesh=mesh)
+    trainer.train()
+    pre_eval = trainer.evaluate_split(ds.valid)
+
+    # process 0 exports; everyone syncs, then everyone restores the SAME file
+    export_dir = os.path.join(work_dir, "export")
+    ckpt_path = None
+    if proc == 0:
+        os.makedirs(export_dir, exist_ok=True)
+        ckpt_path = trainer.export(export_dir, "mh_workflow")
+    multihost_utils.sync_global_devices("rodc_workflow_ckpt_saved")
+    if ckpt_path is None:
+        from ..train import checkpoint
+
+        ckpt_path = checkpoint.single_model_path(export_dir, "mh_workflow")
+
+    restored = SingleNetTrainer(
+        ds, f_beta=None, seed=seed + 99, snapshot_full_path=str(ckpt_path),
+        mesh=mesh,
+    )
+    post_eval = restored.evaluate_split(ds.valid)
+
+    count_keys = (
+        "true_positives", "false_positives", "true_negatives", "false_negatives",
+    )
+    return {
+        "process_index": proc,
+        "process_count": jax.process_count(),
+        "epochs": epochs,
+        "iterations_total": trainer.iterations_total,
+        "final_loss": trainer._last_loss,
+        "pre_eval_counts": {k: pre_eval[k] for k in count_keys},
+        "post_restore_counts": {k: post_eval[k] for k in count_keys},
+        "checkpoint": str(ckpt_path),
+    }

@@ -1,11 +1,15 @@
-"""Worker process for the multi-host rehearsal.
+"""Worker process for the multi-host rehearsals.
 
 Launched by tests/test_multihost.py (2 processes x 4 virtual CPU devices) or
 manually:
 
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=4 \
-    python tools/multihost_worker.py <process_id> <num_processes> <port>
+    python tools/multihost_worker.py <process_id> <num_processes> <port> \
+        [step | workflow <work_dir>]
 
+``step`` (default) runs one train+eval step (multihost.rehearsal);
+``workflow`` runs the multi-epoch Trainer.train() + cross-process
+checkpoint save/restore flow (multihost.workflow_rehearsal).
 Prints one `RESULT {json}` line with the rehearsal outcome.
 """
 
@@ -18,6 +22,7 @@ def main() -> None:
     process_id = int(sys.argv[1])
     num_processes = int(sys.argv[2])
     port = sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "step"
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -32,7 +37,10 @@ def main() -> None:
 
     from rapidobjectdetectionusingcascadedcnns_tpu.parallel import multihost
 
-    result = multihost.rehearsal(global_batch=32, seed=0)
+    if mode == "workflow":
+        result = multihost.workflow_rehearsal(sys.argv[5], epochs=2, seed=0)
+    else:
+        result = multihost.rehearsal(global_batch=32, seed=0)
     print("RESULT " + json.dumps(result), flush=True)
 
 
