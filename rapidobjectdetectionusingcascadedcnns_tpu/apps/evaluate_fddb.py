@@ -50,6 +50,7 @@ class EvaluateFDDBApp(BaseApp):
         self.n_folds = n_folds
         self._model = model
         self.fold_paths: List[str] = []
+        self.roc = None
         BaseApp.__init__(self, run_now)
 
     def _main(self):
@@ -71,7 +72,41 @@ class EvaluateFDDBApp(BaseApp):
             self.fold_paths.append(path)
 
         self._symlink_latest()
+        self.roc = self._run_in_repo_scorer()
         self._run_official_evaluator()
+
+    def _run_in_repo_scorer(self):
+        """Score the exported detections against the fold ellipse ground
+        truth with the in-repo evaluator (data/fddb_eval.py) and write
+        <export_dir>/fddb_roc.json — the detection-rate curve the official
+        evaluator would produce (app/evaluate_fddb_app.py:171-179 contract),
+        available even where Perl/gnuplot are not."""
+        from ..data import fddb_eval
+
+        try:
+            result = fddb_eval.evaluate_folds(
+                self.export_dir, cf.get("fddb_folds_dir"), self.n_folds
+            )
+        except FileNotFoundError as exc:
+            log.log("in-repo FDDB scoring skipped (missing ground truth): {}".format(exc))
+            return None
+        path = fddb_eval.write_roc_artifact(
+            result,
+            os.path.join(self.export_dir, "fddb_roc.json"),
+            extra={"session_key": cf.get("session_key")},
+        )
+        if result["roc"]:
+            best = result["roc"][-1]
+            log.log(
+                "FDDB ROC ({} faces, {} detections): detection rate {:.3f} "
+                "discrete / {:.3f} continuous at {} total false positives "
+                "(full curve: {})".format(
+                    result["n_faces"], result["n_detections"],
+                    best["detection_rate"], best["detection_rate_continuous"],
+                    best["false_positives"], path,
+                )
+            )
+        return result
 
     def _symlink_latest(self):
         latest = cf.get("fddb_latest_detection_output_dir")

@@ -26,10 +26,16 @@ def fold_file_path(fold_nr: int) -> str:
     return os.path.join(cf.get("fddb_folds_dir"), "FDDB-fold-{:02d}.txt".format(fold_nr))
 
 
+def read_fold_keys_from(folds_dir: str, fold_nr: int) -> List[str]:
+    """Relative image keys of one fold file under an explicit directory."""
+    path = os.path.join(folds_dir, "FDDB-fold-{:02d}.txt".format(fold_nr))
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
 def read_fold(fold_nr: int) -> List[str]:
     """Relative image keys of one fold (order preserved)."""
-    with open(fold_file_path(fold_nr)) as f:
-        return [line.strip() for line in f if line.strip()]
+    return read_fold_keys_from(cf.get("fddb_folds_dir"), fold_nr)
 
 
 def image_infos_for_fold(fold_nr: int) -> List[ImageInfo]:

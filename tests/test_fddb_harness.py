@@ -104,6 +104,24 @@ def test_all_ten_folds_end_to_end(small_model, corpus, tmp_path):
     # symlink to the latest export exists (evaluate_fddb_app.py:160-169)
     assert os.path.islink(cf.get("fddb_latest_detection_output_dir"))
 
+    # the in-repo scorer produced the ROC artifact (verdict r2 item 5):
+    # a full detection-rate curve, parseable, with sane bounds
+    import json
+
+    roc_path = os.path.join(app.export_dir, "fddb_roc.json")
+    assert os.path.exists(roc_path)
+    with open(roc_path) as f:
+        roc = json.load(f)
+    assert roc["n_faces"] > 0
+    assert app.roc is not None and app.roc["n_faces"] == roc["n_faces"]
+    assert isinstance(roc["roc"], list)
+    prev_fp = -1
+    for pt in roc["roc"]:
+        assert 0.0 <= pt["detection_rate"] <= 1.0
+        assert 0.0 <= pt["detection_rate_continuous"] <= 1.0
+        assert pt["false_positives"] >= prev_fp  # monotone along the sweep
+        prev_fp = pt["false_positives"]
+
 
 def test_bucketing_maps_detections_back_to_original_geometry(small_model):
     """A bucket-resized image's detections must come back in ORIGINAL image
