@@ -178,6 +178,49 @@ def main() -> None:
     streaming_rates.sort()
     sys.stderr.write("streaming rates: {}\n".format([round(r, 1) for r in streaming_rates]))
 
+    # ---- phase decomposition (measures WHERE the streaming time goes) ---
+    # upload (host->device ingress through the tunnel), device+fetch
+    # (program execution + packed-result readback), host unpack (NMS etc.);
+    # the staged-vs-streaming gap is thereby measured, not asserted
+    bytes_per_frame = yuv_scenes[0][0].nbytes + yuv_scenes[0][1].nbytes
+    phase_reps = []
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        staged_stream = []
+        for b in range(n_batches):
+            ys = np.stack([yuv_scenes[(b * batch + i) % n_scenes][0] for i in range(batch)])
+            uvs = np.stack([yuv_scenes[(b * batch + i) % n_scenes][1] for i in range(batch)])
+            staged_stream.append(
+                (jax.device_put(jnp.asarray(ys)), jax.device_put(jnp.asarray(uvs)))
+            )
+        # force every transfer to finish: fetch one element per buffer
+        # (block_until_ready does not reliably block through the tunnel)
+        _probe = float(
+            sum(jnp.sum(y[0, 0]) + jnp.sum(uv[0, 0, 0]) for y, uv in staged_stream)
+        )
+        t1 = time.perf_counter()
+        rows_all = [
+            np.asarray(casc._cascade_infer_device_batch_yuv(y, uv, *common))
+            for (y, uv) in staged_stream
+        ]
+        t2 = time.perf_counter()
+        for rows in rows_all:
+            for j in range(rows.shape[0]):
+                detector._unpack_row(rows[j], capacities, plan, table, False, 480)
+        t3 = time.perf_counter()
+        phase_reps.append((t1 - t0, t2 - t1, t3 - t2))
+    upload_s = statistics.median(p[0] for p in phase_reps)
+    device_s = statistics.median(p[1] for p in phase_reps)
+    unpack_s = statistics.median(p[2] for p in phase_reps)
+    sys.stderr.write(
+        "phases per rep (s): upload {:.2f} / device+fetch {:.2f} / unpack {:.2f}; "
+        "ingress {:.1f} MB at {:.1f} MB/s\n".format(
+            upload_s, device_s, unpack_s,
+            bytes_per_frame * n_frames / 1e6,
+            bytes_per_frame * n_frames / upload_s / 1e6,
+        )
+    )
+
     baseline_target = 50.0  # BASELINE.json north star (VGA fps/chip on v5e)
     out = {
         "metric": "vga_full_pyramid_cascade_fps_per_chip",
@@ -191,11 +234,22 @@ def main() -> None:
         "weights": weights,
         "capacities": list(capacities),
         "capacities_source": caps_source,
+        # streaming-gap decomposition: per-frame phase costs and the
+        # measured tunnel ingress throughput (bytes moved / upload time)
+        "bytes_per_frame": int(bytes_per_frame),
+        "phases_ms_per_frame": {
+            "upload": round(upload_s / n_frames * 1e3, 2),
+            "device_and_fetch": round(device_s / n_frames * 1e3, 2),
+            "host_unpack": round(unpack_s / n_frames * 1e3, 2),
+        },
+        "ingress_MBps": round(bytes_per_frame * n_frames / upload_s / 1e6, 1),
     }
     if quality:
         out["quality"] = {
             "scene_recall": quality.get("recall"),
             "false_pos_per_scene": quality.get("false_pos_per_scene"),
+            "n_scenes": quality.get("n_scenes"),
+            "n_faces": quality.get("n_faces"),
         }
     print(json.dumps(out))
 
