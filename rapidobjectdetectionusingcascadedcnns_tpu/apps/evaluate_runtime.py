@@ -67,7 +67,10 @@ class EvaluateRuntimeApp(BaseApp):
 
     def _bench(self, name: str, app) -> None:
         images = self._images_cache
-        app.run_inference_on_images(images[:1])  # warmup/compile
+        # warm with the full set once: compiles every program shape the
+        # timed run uses (incl. the batched-frames program at its real batch
+        # size), so the measurement is steady-state throughput
+        app.run_inference_on_images(images, merge=cf.get("inference_merge"))
         start = time.perf_counter()
         app.run_inference_on_images(images, merge=cf.get("inference_merge"))
         elapsed = time.perf_counter() - start
@@ -140,11 +143,16 @@ class EvaluateRuntimeApp(BaseApp):
             self._single_detector.mean = np.asarray(self._single_detector.mean)
             self._single_detector.std = np.asarray(self._single_detector.std)
 
-        original = device.current_platform()
+        # restore by REGISTRATION name (what jax_platforms accepts): a
+        # plugin backend's devices may report a different .platform (the
+        # tunneled TPU registers as 'axon' but reports 'tpu')
+        original = jax.config.jax_platforms or device.current_platform()
         try:
             for platform in self.compare_platforms:
                 device.force_platform(platform)
                 self._bench_families("@" + platform)
         finally:
-            if device.current_platform() != original:
+            try:
                 device.force_platform(original)
+            except Exception as exc:  # pragma: no cover - env-specific
+                log.log("platform restore failed: {}".format(exc))

@@ -105,6 +105,11 @@ def _build_defaults() -> Dict[str, Any]:
     # stage-0 scheduled (support-bounded) Pallas extraction; "auto" defers
     # to the kernel benchmarks' verdict per backend (ops/windows_sched.py)
     cf["stage0_scheduled_extraction"] = "auto"  # auto | on | off
+    # dynamic row-bounded re-extraction of stage-1/2 survivor windows
+    # (ops/windows_dyn.py, needs pallas2); "auto" resolves to OFF: measured
+    # slower than the v1 kernel at FDDB density once chunk balancing landed
+    # (tools/profile_reextract.py), kept opt-in for big-image geometries
+    cf["dyn_reextract"] = "auto"  # auto | on | off
     cf["nms_on_device"] = False  # run groupRectangles inside the program
     cf["inference_resize_buckets"] = None  # [(h, w), ...] or None (exact)
     # FDDB corpora mix hundreds of image sizes; these buckets bound the

@@ -73,10 +73,43 @@ class DetectionResult:
     # stable identity used by the end-to-end reference oracle to compare
     # survivor sets detection-for-detection (tests/test_e2e_oracle.py)
     raw_window_ids: Optional[np.ndarray] = None
+    # per-re-extract big-class overflow counts from the dynamic row-bounded
+    # kernel (ops/windows_dyn.py); nonzero means the result was re-dispatched
+    # (or, with re-dispatch off, contains garbage for that many windows)
+    reextract_overflows: Optional[List[int]] = None
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _balanced_chunk(n: int, chunk: int) -> int:
+    """Largest-balanced chunk size: same chunk COUNT as ``chunk`` would give,
+    but sized to n/count (128-aligned) so the last chunk is not mostly
+    padding. 16512 windows with chunk 16384 would otherwise run TWO full
+    16384-row chunks — 99% wasted work in the second (measured 15.4 -> 5.5 ms
+    on the FDDB stage-1 CNN, tools/profile_reextract.py)."""
+    n_chunks = -(-n // chunk)
+    return _round_up(-(-n // n_chunks), 128)
+
+
+def _precast_params(params, cfg: cnn.StageConfig):
+    """Pre-cast the weights apply_stage consumes in compute dtype so the
+    casts are loop-invariant (outside lax.map) instead of re-reading the f32
+    masters every chunk iteration — the stage-2 fc1 alone is 151 MB. fc2's
+    bias stays f32 (apply_stage adds it to the f32 logits)."""
+    cdt = cfg.compute_dtype
+    out = dict(params)
+    if "conv" in params:
+        out["conv"] = [
+            {k: v.astype(cdt) for k, v in layer.items()}
+            for layer in params["conv"]
+        ]
+    if "fc1" in params:
+        out["fc1"] = {k: v.astype(cdt) for k, v in params["fc1"].items()}
+    if "fc2" in params:
+        out["fc2"] = {"W": params["fc2"]["W"].astype(cdt), "b": params["fc2"]["b"]}
+    return out
 
 
 def default_capacity_schedule(n_windows: int, n_stages: int) -> List[int]:
@@ -140,14 +173,26 @@ def resolve_resample_impl() -> str:
     cached executable."""
     configured = cf.get("use_pallas_resample")
     sched_flag = cf.get("stage0_scheduled_extraction")
-    if configured in ("pallas", "xla", "pallas2"):
+
+    def with_dyn(impl: str) -> str:
+        # 'pallas2dyn' additionally routes stage-1/2 re-extraction through
+        # the dynamic row-bounded kernel (ops/windows_dyn.py). Opt-in only:
+        # at FDDB density the v1 serial kernel measured 4.9 ms vs 22.4 ms
+        # for the lattice scheme (tools/profile_reextract.py) because
+        # re-extraction stopped being the bottleneck once chunk balancing
+        # landed; 'auto' therefore resolves to off.
+        if impl == "pallas2" and cf.get("dyn_reextract") == "on":
+            return "pallas2dyn"
+        return impl
+
+    if configured in ("pallas", "xla", "pallas2", "pallas2dyn"):
         if configured == "pallas" and sched_flag == "on":
-            return "pallas2"
-        return configured
+            return with_dyn("pallas2")
+        return with_dyn(configured)
     if configured is True:
         # the legacy boolean form honors the scheduled-extraction toggle the
         # same way the string 'pallas' form does
-        return "pallas2" if sched_flag == "on" else "pallas"
+        return with_dyn("pallas2") if sched_flag == "on" else "pallas"
     if configured is False:
         return "xla"
     try:
@@ -158,7 +203,7 @@ def resolve_resample_impl() -> str:
     # scheduled stage-0 (ops/windows_sched.py) is the TPU default: measured
     # 68.8 vs 77.2 ms/img full-cascade at FDDB density (tools/
     # profile_cascade_device.py), identical detections; "off" drops to v1
-    return "pallas" if sched_flag == "off" else "pallas2"
+    return "pallas" if sched_flag == "off" else with_dyn("pallas2")
 
 
 def resolve_thresholds(n_stages: int) -> List[float]:
@@ -202,6 +247,9 @@ def _apply_stage_on_boxes_chunked(
         )
         return out["probs"], out["bottleneck"]
 
+    chunk = _balanced_chunk(n, chunk)
+    if not high_precision:
+        params = _precast_params(params, stage_cfg)
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
     boxes_p = jnp.concatenate([boxes, jnp.broadcast_to(boxes[-1:], (pad, 4))])
@@ -261,6 +309,9 @@ def _apply_stage_on_windows_chunked(
     if n <= chunk:
         return stage(wins, bneck_in)
 
+    chunk = _balanced_chunk(n, chunk)
+    if not high_precision:
+        params = _precast_params(params, stage_cfg)
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
     wins_p = jnp.concatenate(
@@ -306,9 +357,13 @@ def _cascade_core(
     """Full-cascade single-image inference (traceable core).
 
     Returns (window_ids (C_last,), confidences (C_last,), alive (C_last,),
-    survivors_per_stage (n_stages,)). With ``nms_min_neighbors >= 0`` the
-    groupRectangles clustering also runs on device (ops/nms.py
-    group_rectangles_jax) and the returned tuple gains
+    diagnostics (2*n_stages - 1,)). ``diagnostics`` holds the per-stage
+    pre-compaction survivor counts (n_stages) followed by the per-re-extract
+    big-class overflow counts (n_stages - 1; always 0 unless the dynamic
+    row-bounded kernel ran and its big class overflowed — the host must
+    re-dispatch such an image, the overflowed windows carry garbage pixels).
+    With ``nms_min_neighbors >= 0`` the groupRectangles clustering also runs
+    on device (ops/nms.py group_rectangles_jax) and the returned tuple gains
     (cluster_xywh (C_last, 4), cluster_weights (C_last,),
     cluster_keep (C_last,)) — the pure-device serving tail: nothing but the
     final packed result ever leaves the chip.
@@ -326,7 +381,7 @@ def _cascade_core(
     mean0, std0 = stage_stats[0]
     if extraction_mode == "crop":
         sched = None
-        if resample_impl == "pallas2" and not high_precision:
+        if resample_impl in ("pallas2", "pallas2dyn") and not high_precision:
             from ..ops import windows_sched
 
             sched = windows_sched.schedule_for_plan(
@@ -340,6 +395,10 @@ def _cascade_core(
             wins0 = windows_sched.extract_scheduled(
                 image_f, boxes_float, sched, out_dtype=jnp.bfloat16,
                 reorder=False,
+                # one horizontal matmul per tile beats the serial per-window
+                # loop on the small scheduled cells (21.7 vs 24.8 ms at FDDB
+                # density, tools/profile_reextract.py); bit-identical output
+                blockdiag=True,
             )
             probs0, bottleneck = _apply_stage_on_windows_chunked(
                 wins0,
@@ -363,7 +422,9 @@ def _cascade_core(
                 std0,
                 chunk,
                 high_precision,
-                "pallas" if resample_impl == "pallas2" else resample_impl,
+                "pallas"
+                if resample_impl in ("pallas2", "pallas2dyn")
+                else resample_impl,
             )
             window_ids0 = valid0 = None
         n_windows0 = probs0.shape[0]
@@ -396,6 +457,7 @@ def _cascade_core(
         else jnp.arange(n_windows0, dtype=jnp.int32)
     )
     survivors = [jnp.sum(alive.astype(jnp.int32))]
+    overflows = []  # per re-extract big-class overflow (dyn kernel only)
 
     for i in range(1, n_stages):
         cap = capacities[i - 1]
@@ -414,18 +476,56 @@ def _cascade_core(
         bneck_in = (
             bottleneck if stage_configs[i].bottleneck_in_size is not None else None
         )
-        probs_i, bottleneck = _apply_stage_on_boxes_chunked(
-            image_f,
-            boxes,
-            bneck_in,
-            stage_params[i],
-            stage_configs[i],
-            mean_i,
-            std_i,
-            chunk,
-            high_precision,
-            "pallas" if resample_impl == "pallas2" else resample_impl,
+        size_i = stage_configs[i].input_size
+        from ..ops import windows_dyn
+
+        use_dyn = (
+            resample_impl == "pallas2dyn"
+            and not high_precision
+            and windows_dyn.dyn_supported(
+                image.shape[0], image.shape[1], size_i, size_i, cap
+            )
         )
+        if use_dyn:
+            # support-bounded re-extraction for dynamic survivor boxes
+            # (ops/windows_dyn.py): row-bounded cells via the shift lattice,
+            # big-class fallback with an overflow counter the host watches
+            wins_i, _n_big, ovf = windows_dyn.extract_rowbound(
+                image_f,
+                boxes,
+                size_i,
+                size_i,
+                big_cap=windows_dyn.default_big_cap(
+                    cap, size_i, size_i, image.shape[0]
+                ),
+                out_dtype=jnp.bfloat16,
+            )
+            probs_i, bottleneck = _apply_stage_on_windows_chunked(
+                wins_i,
+                bneck_in,
+                stage_params[i],
+                stage_configs[i],
+                mean_i,
+                std_i,
+                chunk,
+            )
+            overflows.append(ovf)
+        else:
+            probs_i, bottleneck = _apply_stage_on_boxes_chunked(
+                image_f,
+                boxes,
+                bneck_in,
+                stage_params[i],
+                stage_configs[i],
+                mean_i,
+                std_i,
+                chunk,
+                high_precision,
+                "pallas"
+                if resample_impl in ("pallas2", "pallas2dyn")
+                else resample_impl,
+            )
+            overflows.append(jnp.zeros((), jnp.int32))
         p_i = probs_i[:, 1]
         stage_alive = p_i > thresholds[i]
         alive = alive & stage_alive
@@ -445,6 +545,8 @@ def _cascade_core(
     elif confidence_mode == cf.FINAL_CONFIDENCE_CALCULATION_MULT:
         conf = jnp.maximum(conf, cf.MIN_SCORE_FOR_FINAL_CONFIDENCE_CALCULATION_MULT)
 
+    diagnostics = jnp.stack(survivors + overflows)  # (2*n_stages - 1,)
+
     if nms_min_neighbors >= 0:
         final_boxes = coords_norm[window_ids].astype(jnp.float32)
         xywh = jnp.stack(
@@ -463,26 +565,27 @@ def _cascade_core(
             window_ids,
             conf,
             alive,
-            jnp.stack(survivors),
+            diagnostics,
             cl_avg,
             cl_weights,
             cl_keep,
         )
 
-    return window_ids, conf, alive, jnp.stack(survivors)
+    return window_ids, conf, alive, diagnostics
 
 
-def _pack_result(window_ids, conf, alive, survivors, *nms_tail):
+def _pack_result(window_ids, conf, alive, diagnostics, *nms_tail):
     """Pack ALL per-image outputs into ONE flat float32 vector so host
     readback is a single transfer (remote/tunneled runtimes pay a round-trip
-    per buffer). Layout: [ids (C), conf (C), alive (C), survivors (S)] plus,
+    per buffer). Layout: [ids (C), conf (C), alive (C),
+    diagnostics (2*n_stages - 1: survivors then re-extract overflows)] plus,
     with the on-device NMS tail, [xywh (C, 4) row-major, weights (C),
     keep (C)]."""
     parts = [
         window_ids.astype(jnp.float32),
         conf.astype(jnp.float32),
         alive.astype(jnp.float32),
-        survivors.astype(jnp.float32),
+        diagnostics.astype(jnp.float32),
     ]
     if nms_tail:
         cl_avg, cl_weights, cl_keep = nms_tail
@@ -760,7 +863,7 @@ class CascadeDetector:
             ) == cf.NMS_OPENCV
             nms_mn = int(cf.get("nms_opencv_min_neighbors")) if nms_on_device else -1
 
-            def make_common(caps):
+            def make_common(caps, resample=None):
                 return (
                     coords_norm,
                     boxes_float,
@@ -775,7 +878,7 @@ class CascadeDetector:
                     extraction_mode,
                     int(cf.get("inference_chunk_size")),
                     nms_mn,
-                    resolve_resample_impl(),
+                    resample or resolve_resample_impl(),
                 )
 
             # bounded software pipeline: keep `depth` chunks in flight so the
@@ -820,7 +923,8 @@ class CascadeDetector:
                         packed[j], capacities, plan, table, nms_on_device, img_h
                     )
                     if self._is_saturated(
-                        result.n_survivors_per_stage, capacities
+                        result.n_survivors_per_stage, capacities,
+                        result.reextract_overflows,
                     ):
                         result = self._handle_saturation(
                             images[i], yuv, result, capacities, plan, table,
@@ -840,11 +944,14 @@ class CascadeDetector:
         alive = row[2 * cap_last : 3 * cap_last] > 0.5
         base = 3 * cap_last
         survivors = [int(s) for s in row[base : base + n_stages]]
+        overflows = [
+            int(s) for s in row[base + n_stages : base + 2 * n_stages - 1]
+        ]
         keep_ids = window_ids[alive]
         raw_boxes = table["coords_norm"][keep_ids]
         raw_conf = conf[alive]
         if nms_on_device:
-            tail = row[base + n_stages :]
+            tail = row[base + 2 * n_stages - 1 :]
             cl_xywh = tail[: 4 * cap_last].reshape(cap_last, 4)
             cl_w = tail[4 * cap_last : 5 * cap_last]
             cl_keep = tail[5 * cap_last : 6 * cap_last] > 0.5
@@ -870,15 +977,20 @@ class CascadeDetector:
             n_windows=plan.n_windows,
             n_survivors_per_stage=survivors,
             raw_window_ids=keep_ids,
+            reextract_overflows=overflows,
         )
 
     @staticmethod
-    def _is_saturated(survivors, capacities) -> bool:
+    def _is_saturated(survivors, capacities, overflows=None) -> bool:
         """Truncation at compaction i happens exactly when the pre-compaction
         alive count exceeds the capacity (``survivors[i] > capacities[i]``);
         an exactly-filled buffer drops nothing. ``survivors[i]`` is counted
         *before* the next compaction (models/cascade._cascade_core), so the
-        comparison is exact, not a heuristic."""
+        comparison is exact, not a heuristic. A dynamic-re-extract big-class
+        overflow also counts as saturation: re-dispatch doubles the survivor
+        caps, and the big cap (derived from them) doubles along."""
+        if overflows and any(o > 0 for o in overflows):
+            return True
         return any(s > c for s, c in zip(survivors, capacities))
 
     def _handle_saturation(
@@ -904,19 +1016,8 @@ class CascadeDetector:
                 self._saturation_warned = True
             return result
 
-        caps = list(capacities)
-        for _ in range(int(cf.get("cascade_saturation_max_retries"))):
-            new_caps = escalate_capacities(caps, plan.n_windows)
-            if new_caps is None:
-                return result  # buffers already fully open; nothing dropped
-            caps = new_caps
-            log.log(
-                "WARNING: cascade stage saturated its survivor capacity; "
-                "re-dispatching with capacities {} (a trained stage should "
-                "reject most windows — consider retraining it or setting "
-                "cascade_capacity_schedule to avoid the retry cost).".format(caps)
-            )
-            common = make_common(tuple(caps))
+        def rerun(caps_, resample=None):
+            common = make_common(tuple(caps_), resample)
             if yuv:
                 y_dev, _ = self._place_stack(np.stack([frame[0]]))
                 uv_dev, _ = self._place_stack(np.stack([frame[1]]))
@@ -924,11 +1025,43 @@ class CascadeDetector:
             else:
                 stack_dev, _ = self._place_stack(np.stack([frame]))
                 packed = _cascade_infer_device_batch(stack_dev, *common)
-            result = self._unpack_row(
-                np.asarray(packed)[0], tuple(caps), plan, table, nms_on_device, img_h
+            return self._unpack_row(
+                np.asarray(packed)[0], tuple(caps_), plan, table,
+                nms_on_device, img_h,
             )
-            if not self._is_saturated(result.n_survivors_per_stage, caps):
+
+        def overflowed(res) -> bool:
+            return bool(
+                res.reextract_overflows
+                and any(o > 0 for o in res.reextract_overflows)
+            )
+
+        caps = list(capacities)
+        for _ in range(int(cf.get("cascade_saturation_max_retries"))):
+            new_caps = escalate_capacities(caps, plan.n_windows)
+            if new_caps is None:
+                break  # survivor buffers fully open; nothing compaction-dropped
+            caps = new_caps
+            log.log(
+                "WARNING: cascade stage saturated its survivor capacity; "
+                "re-dispatching with capacities {} (a trained stage should "
+                "reject most windows — consider retraining it or setting "
+                "cascade_capacity_schedule to avoid the retry cost).".format(caps)
+            )
+            result = rerun(caps)
+            if not self._is_saturated(
+                result.n_survivors_per_stage, caps, result.reextract_overflows
+            ):
                 return result
+        if overflowed(result):
+            # the dynamic re-extract big class still overflowed after the
+            # capacity escalation budget: one always-correct re-dispatch with
+            # the v1 full-image resampler (never silent garbage)
+            log.log(
+                "WARNING: dynamic re-extraction big class overflowed; "
+                "re-dispatching with the full-image resampler."
+            )
+            result = rerun(caps, resample="pallas")
         return result
 
     def _postprocess(self, boxes: np.ndarray, conf: np.ndarray, img_h: int):

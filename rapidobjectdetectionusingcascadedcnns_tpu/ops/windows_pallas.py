@@ -62,7 +62,7 @@ def _tile_windows(out_h: int, out_w: int) -> int:
 
 def _resample_kernel(sy_ref, sx_ref, img_ref, out_ref, v_scratch, *,
                      tile: int, c: int, h: int, w: int, out_h: int,
-                     out_w: int, quantize: bool):
+                     out_w: int, quantize: bool, blockdiag: bool = False):
     # two-tap bilinear weights via the triangle identity (VPU, no gathers):
     # ry[r, hh] = relu(1 - |hh - sy_r|) has exactly the two nonzero taps
     # (1 - frac) at floor(sy) and frac at floor(sy)+1.
@@ -85,19 +85,40 @@ def _resample_kernel(sy_ref, sx_ref, img_ref, out_ref, v_scratch, *,
         v_scratch[:, :] = jnp.dot(
             ry, img_c, preferred_element_type=jnp.float32
         )  # (tile*out_h, W) f32
-        for t in range(tile):
-            v_t = v_scratch[t * out_h : (t + 1) * out_h, :].astype(jnp.bfloat16)
-            r_t = rx[:, t * out_w : (t + 1) * out_w]  # (W, out_w)
-            o = jnp.dot(v_t, r_t, preferred_element_type=jnp.float32)
-            if quantize:
-                o = jnp.clip(jnp.round(o), 0.0, 255.0)
-            out_ref[
-                ci * out_h : (ci + 1) * out_h, t * out_w : (t + 1) * out_w
-            ] = o
+        if blockdiag:
+            # ONE horizontal matmul for the whole tile: each window's result
+            # is a diagonal block of the (tile*out_h, tile*out_w) product.
+            # tile-1 off-diagonal blocks are wasted MXU FLOPs, but the MXU is
+            # otherwise idle while `tile` serial (out_h, W)x(W, out_w)
+            # matmuls pay per-issue overhead (measured: the serial loop is
+            # the kernel's top cost at FDDB density, tools/profile_reextract)
+            p = jnp.dot(
+                v_scratch[:, :].astype(jnp.bfloat16),
+                rx,
+                preferred_element_type=jnp.float32,
+            )  # (tile*out_h, tile*out_w)
+            for t in range(tile):
+                o = p[t * out_h : (t + 1) * out_h, t * out_w : (t + 1) * out_w]
+                if quantize:
+                    o = jnp.clip(jnp.round(o), 0.0, 255.0)
+                out_ref[
+                    ci * out_h : (ci + 1) * out_h, t * out_w : (t + 1) * out_w
+                ] = o
+        else:
+            for t in range(tile):
+                v_t = v_scratch[t * out_h : (t + 1) * out_h, :].astype(jnp.bfloat16)
+                r_t = rx[:, t * out_w : (t + 1) * out_w]  # (W, out_w)
+                o = jnp.dot(v_t, r_t, preferred_element_type=jnp.float32)
+                if quantize:
+                    o = jnp.clip(jnp.round(o), 0.0, 255.0)
+                out_ref[
+                    ci * out_h : (ci + 1) * out_h, t * out_w : (t + 1) * out_w
+                ] = o
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_h", "out_w", "quantize", "interpret")
+    jax.jit,
+    static_argnames=("out_h", "out_w", "quantize", "interpret", "blockdiag"),
 )
 def crop_and_resize_pallas(
     image: jnp.ndarray,
@@ -107,6 +128,7 @@ def crop_and_resize_pallas(
     out_w: int,
     quantize: bool = True,
     interpret: bool = None,
+    blockdiag: bool = False,
 ) -> jnp.ndarray:
     """Drop-in fused replacement for :func:`.windows.crop_and_resize`
     (default-precision path). ``image``: (H, W, C); ``boxes``: (N, 4) float
@@ -165,6 +187,7 @@ def crop_and_resize_pallas(
             out_h=out_h,
             out_w=out_w,
             quantize=quantize,
+            blockdiag=blockdiag,
         ),
         grid=grid,
         in_specs=[

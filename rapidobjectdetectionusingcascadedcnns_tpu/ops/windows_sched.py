@@ -258,7 +258,7 @@ def build_schedule(
 
 def _sched_kernel(offs_ref, sy_ref, sx_ref, *refs, tile: int, c: int,
                   cell_r: int, cell_c: int, out_h: int, out_w: int,
-                  quantize: bool):
+                  quantize: bool, blockdiag: bool = False):
     plane_refs = refs[:c]
     out_ref = refs[c]
     v_scratch = refs[c + 1]
@@ -280,20 +280,36 @@ def _sched_kernel(offs_ref, sy_ref, sx_ref, *refs, tile: int, c: int,
         v_scratch[:, :] = jnp.dot(
             ry, plane_refs[ci][:, :], preferred_element_type=jnp.float32
         )  # (tile*out_h, C) f32
-        for t in range(tile):
-            v_t = v_scratch[t * out_h : (t + 1) * out_h, :].astype(jnp.bfloat16)
-            r_t = rx[:, t * out_w : (t + 1) * out_w]
-            o = jnp.dot(v_t, r_t, preferred_element_type=jnp.float32)
-            if quantize:
-                o = jnp.clip(jnp.round(o), 0.0, 255.0)
-            out_ref[
-                ci * out_h : (ci + 1) * out_h, t * out_w : (t + 1) * out_w
-            ] = o.astype(out_ref.dtype)
+        if blockdiag:
+            # one horizontal matmul per tile; per-window results are the
+            # diagonal blocks (see windows_pallas._resample_kernel)
+            p = jnp.dot(
+                v_scratch[:, :].astype(jnp.bfloat16),
+                rx,
+                preferred_element_type=jnp.float32,
+            )
+            for t in range(tile):
+                o = p[t * out_h : (t + 1) * out_h, t * out_w : (t + 1) * out_w]
+                if quantize:
+                    o = jnp.clip(jnp.round(o), 0.0, 255.0)
+                out_ref[
+                    ci * out_h : (ci + 1) * out_h, t * out_w : (t + 1) * out_w
+                ] = o.astype(out_ref.dtype)
+        else:
+            for t in range(tile):
+                v_t = v_scratch[t * out_h : (t + 1) * out_h, :].astype(jnp.bfloat16)
+                r_t = rx[:, t * out_w : (t + 1) * out_w]
+                o = jnp.dot(v_t, r_t, preferred_element_type=jnp.float32)
+                if quantize:
+                    o = jnp.clip(jnp.round(o), 0.0, 255.0)
+                out_ref[
+                    ci * out_h : (ci + 1) * out_h, t * out_w : (t + 1) * out_w
+                ] = o.astype(out_ref.dtype)
 
 
 def _run_class(planes, sy_local, sx_local, cls: _ClassSchedule,
                sched: ExtractionSchedule, quantize: bool, interpret: bool,
-               out_dtype):
+               out_dtype, blockdiag: bool = False):
     tile, out_h, out_w = sched.tile, sched.out_h, sched.out_w
     c = len(planes)
     plane_spec = pl.BlockSpec(
@@ -323,6 +339,7 @@ def _run_class(planes, sy_local, sx_local, cls: _ClassSchedule,
             out_h=out_h,
             out_w=out_w,
             quantize=quantize,
+            blockdiag=blockdiag,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
@@ -341,6 +358,7 @@ def extract_scheduled(
     interpret: Optional[bool] = None,
     out_dtype=jnp.float32,
     reorder: bool = True,
+    blockdiag: bool = False,
 ) -> jnp.ndarray:
     """Extract all scheduled windows from ``image`` (H, W, C).
 
@@ -386,7 +404,7 @@ def extract_scheduled(
         sx_local = (sx_t[sel] - coff).reshape(1, -1)
         out = _run_class(
             planes, sy_local, sx_local, cls, schedule, quantize,
-            interpret, out_dtype,
+            interpret, out_dtype, blockdiag,
         )
         # (C*out_h, tiles*tile*out_w) -> (tiles*tile, out_h, out_w, C)
         out = out.reshape(c, out_h, cls.n_tiles * tile, out_w)

@@ -28,11 +28,17 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import train_flagship as tf_mod
 
 CANDIDATES = [
-    # (name, n_pos, n_neg, epochs, seed)
-    ("base-s0", 3000, 24000, 16, 0),
-    ("base-s1", 3000, 24000, 16, 1),
-    ("big-s0", 5000, 40000, 20, 0),
-    ("big-s2", 5000, 40000, 20, 2),
+    # (name, n_pos, n_neg, epochs, seed, config_overrides)
+    ("base-s0", 3000, 24000, 16, 0, {}),
+    ("big-s0", 5000, 40000, 20, 0, {}),
+    ("big-s1", 5000, 40000, 20, 1, {}),
+    ("huge-s0", 8000, 64000, 24, 0, {}),
+    # deeper stage trunks: two conv/pool blocks per net
+    ("deep2-s0", 5000, 40000, 20, 0, {"conv_filter_sizes": [32, 32]}),
+    # a 4th (6px) front stage: cheaper early rejection, denser grid
+    ("stage4-s0", 5000, 40000, 20, 0, {"cascade_n_nets": 4}),
+    # recall-heavier boosting schedule
+    ("beta4-s0", 5000, 40000, 20, 0, {"max_beta": 4}),
 ]
 
 
@@ -56,36 +62,68 @@ def main():
     log.set_echo(True)
     results = []
     best = None
-    for name, n_pos, n_neg, epochs, seed in CANDIDATES:
+    for name, n_pos, n_neg, epochs, seed, overrides in CANDIDATES:
         if only and name not in only:
             continue
         cf.reset()
         tf_mod.flagship_config(cf)
         cf.set("epochs_total", epochs)
+        for k, v in overrides.items():
+            cf.set(k, v)
+        from rapidobjectdetectionusingcascadedcnns_tpu.models.cnn import (
+            stage_input_sizes,
+        )
+
+        sizes = stage_input_sizes(
+            cf.get("cascade_n_nets"), cf.get("img_width"), True
+        )
         provider = ct.SyntheticProvider(
-            n_pos, n_neg, [12, 24, 48], seed=seed, source="mixed"
+            n_pos, n_neg, sizes, seed=seed, source="mixed"
         )
         trainer = ct.CascadeTrainer(provider, seed=seed)
         t0 = time.time()
-        model = trainer.train()
+        try:
+            model = trainer.train()
+        except Exception as exc:  # a degenerate recipe must not kill the sweep
+            print(f"{name}: FAILED ({exc})", flush=True)
+            results.append({"candidate": name, "error": str(exc)})
+            continue
         train_secs = time.time() - t0
         stats = tf_mod.evaluate_on_scenes(model)
+        summary = {k: v for k, v in stats.items() if k != "misses"}
         stats["candidate"] = name
-        stats["train_secs"] = round(train_secs, 1)
-        print(f"{name}: {json.dumps(stats)}", flush=True)
+        summary["candidate"] = name
+        stats["train_secs"] = summary["train_secs"] = round(train_secs, 1)
+        stats["overrides"] = summary["overrides"] = overrides
+        print(f"{name}: {json.dumps(summary)}", flush=True)
         results.append(stats)
         if best is None or rank_key(stats) < rank_key(best[1]):
-            best = (model, stats)
+            best = (model, stats, dict(overrides))
 
-    model, stats = best
+    model, stats, win_overrides = best
     checkpoint.save_cascade(tf_mod.ARTIFACT_DIR, tf_mod.SESSION_KEY, model)
+    # threshold sensitivity for the winner (the reference's FDDB output is a
+    # curve, not one operating point)
+    stats["threshold_sensitivity"] = [
+        {
+            k: v
+            for k, v in tf_mod.evaluate_on_scenes(
+                model, threshold=t, miss_analysis=False
+            ).items()
+        }
+        for t in (0.3, 0.7)
+    ]
     with open(os.path.join(tf_mod.ARTIFACT_DIR, "flagship_eval.json"), "w") as f:
         json.dump({k: v for k, v in stats.items() if k != "candidate"}, f, indent=1)
     with open(os.path.join(tf_mod.ARTIFACT_DIR, "flagship_sweep.json"), "w") as f:
         json.dump({"candidates": results, "winner": stats["candidate"]}, f, indent=1)
+    if win_overrides:
+        with open(os.path.join(tf_mod.ARTIFACT_DIR, "flagship_overrides.json"), "w") as f:
+            json.dump(win_overrides, f, indent=1)
     print(f"winner: {stats['candidate']} recall={stats['recall']} "
           f"fp/scene={stats['false_pos_per_scene']} "
-          f"survivors_max={stats['survivors_max']}")
+          f"survivors_max={stats['survivors_max']} "
+          f"grid_limited_misses={stats.get('misses_grid_limited')}")
 
 
 if __name__ == "__main__":
