@@ -143,6 +143,7 @@ def main() -> None:
         int(cf.get("inference_chunk_size")),
         -1,
         casc.resolve_resample_impl(),
+        casc.resolve_compaction(),
     )
 
     n_batches = 12

@@ -110,6 +110,15 @@ def _build_defaults() -> Dict[str, Any]:
     # slower than the v1 kernel at FDDB density once chunk balancing landed
     # (tools/profile_reextract.py), kept opt-in for big-image geometries
     cf["dyn_reextract"] = "auto"  # auto | on | off
+    # survivor-buffer compaction between cascade stages: "rank" is a full
+    # strength argsort (truncation keeps the strongest windows — required
+    # semantics when saturation re-dispatch is off); "scan" is an O(n)
+    # cumsum+searchsorted selection in window-enumeration order (the
+    # reference's survivor order, inference_cascade_app.py:217-240) — a full
+    # device sort of a 130k-window FDDB pyramid is pure waste when
+    # re-dispatch already guarantees untruncated survivor sets. "auto"
+    # follows cascade_saturation_redispatch.
+    cf["cascade_compaction"] = "auto"  # auto | rank | scan
     cf["nms_on_device"] = False  # run groupRectangles inside the program
     cf["inference_resize_buckets"] = None  # [(h, w), ...] or None (exact)
     # FDDB corpora mix hundreds of image sizes; these buckets bound the

@@ -206,6 +206,51 @@ def resolve_resample_impl() -> str:
     return "pallas" if sched_flag == "off" else with_dyn("pallas2")
 
 
+def resolve_compaction() -> str:
+    """Survivor-compaction strategy, resolved on the host per dispatch (see
+    config.py `cascade_compaction`): "scan" whenever saturation re-dispatch
+    guarantees untruncated survivor sets, "rank" when truncation semantics
+    (keep-strongest) must hold because re-dispatch is disabled."""
+    configured = cf.get("cascade_compaction")
+    if configured in ("rank", "scan"):
+        return configured
+    return "scan" if cf.get("cascade_saturation_redispatch") else "rank"
+
+
+def _compact_indices(alive, p_fg, cap: int, compaction: str):
+    """Select up to ``cap`` surviving rows from a stage's full result buffer.
+
+    Returns ``(keep, alive_out)``: row indices to gather and their alive
+    mask. Two strategies, identical final detections whenever the buffer
+    does not truncate (and saturation re-dispatch re-runs any image where it
+    would):
+
+      * ``"rank"`` — full argsort on (alive, strength): alive first,
+        strongest first. O(n log^2 n) device sort; truncation keeps the
+        strongest windows (the documented opt-out semantics when
+        ``cascade_saturation_redispatch`` is off).
+      * ``"scan"`` — cumsum + vectorized binary search: the j-th kept row is
+        the j-th alive row in window-enumeration order, which is exactly the
+        order the reference accumulates survivors in
+        (app/inference_cascade_app.py:217-240). O(n) + O(cap log n) — no
+        130k-element sort in the FDDB-density program.
+    """
+    if compaction == "scan":
+        c = jnp.cumsum(alive.astype(jnp.int32))
+        n_alive = c[-1]
+        keep = jnp.searchsorted(
+            c, jnp.arange(1, cap + 1, dtype=jnp.int32), side="left"
+        )
+        keep = jnp.minimum(keep, alive.shape[0] - 1).astype(jnp.int32)
+        alive_out = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(
+            n_alive, cap
+        )
+        return keep, alive_out
+    order = jnp.argsort(-(alive.astype(jnp.float32) * (1.0 + p_fg)))
+    keep = order[:cap]
+    return keep, alive[keep]
+
+
 def resolve_thresholds(n_stages: int) -> List[float]:
     """Scalar-or-list foreground_confidence_threshold
     (config.py:64-73, inference_cascade_app.py:165-175)."""
@@ -353,6 +398,7 @@ def _cascade_core(
     chunk: int = 16384,
     nms_min_neighbors: int = -1,
     resample_impl: str = "xla",
+    compaction: str = "rank",
 ):
     """Full-cascade single-image inference (traceable core).
 
@@ -461,10 +507,9 @@ def _cascade_core(
 
     for i in range(1, n_stages):
         cap = capacities[i - 1]
-        # ---- compaction: alive windows first, strongest first ----
-        order = jnp.argsort(-(alive.astype(jnp.float32) * (1.0 + p_fg)))
-        keep = order[:cap]
-        alive = alive[keep]
+        # ---- compaction: select survivors into the fixed-capacity buffer
+        # ("scan" keeps reference window order, "rank" sorts by strength) ----
+        keep, alive = _compact_indices(alive, p_fg, cap, compaction)
         conf = conf[keep]
         p_fg = p_fg[keep]
         window_ids = window_ids[keep]
@@ -610,18 +655,20 @@ def _pack_result(window_ids, conf, alive, diagnostics, *nms_tail):
         "chunk",
         "nms_min_neighbors",
         "resample_impl",
+        "compaction",
     ),
 )
 def _cascade_infer_device(image, coords_norm, boxes_float, stage_params,
                           stage_stats, plan, stage_configs, capacities,
                           confidence_mode, thresholds, high_precision=False,
                           extraction_mode="gather", chunk=16384,
-                          nms_min_neighbors=-1, resample_impl="xla"):
+                          nms_min_neighbors=-1, resample_impl="xla",
+                          compaction="rank"):
     """Single-image jitted cascade program (kept for the graft entry point)."""
     return _cascade_core(
         image, coords_norm, boxes_float, stage_params, stage_stats, plan,
         stage_configs, capacities, confidence_mode, thresholds, high_precision,
-        extraction_mode, chunk, nms_min_neighbors, resample_impl,
+        extraction_mode, chunk, nms_min_neighbors, resample_impl, compaction,
     )
 
 
@@ -638,13 +685,15 @@ def _cascade_infer_device(image, coords_norm, boxes_float, stage_params,
         "chunk",
         "nms_min_neighbors",
         "resample_impl",
+        "compaction",
     ),
 )
 def _cascade_infer_device_batch(images, coords_norm, boxes_float, stage_params,
                                 stage_stats, plan, stage_configs, capacities,
                                 confidence_mode, thresholds, high_precision=False,
                                 extraction_mode="gather", chunk=16384,
-                                nms_min_neighbors=-1, resample_impl="xla"):
+                                nms_min_neighbors=-1, resample_impl="xla",
+                                compaction="rank"):
     """Batched cascade program: (B, H, W, C) images -> one packed float32
     (B, 3*C_last + n_stages) result array in ONE device round-trip.
 
@@ -661,7 +710,7 @@ def _cascade_infer_device_batch(images, coords_norm, boxes_float, stage_params,
             image, coords_norm, boxes_float, stage_params, stage_stats, plan,
             stage_configs, capacities, confidence_mode, thresholds,
             high_precision, extraction_mode, chunk, nms_min_neighbors,
-            resample_impl,
+            resample_impl, compaction,
         )
         return _pack_result(*out)
 
@@ -681,6 +730,7 @@ def _cascade_infer_device_batch(images, coords_norm, boxes_float, stage_params,
         "chunk",
         "nms_min_neighbors",
         "resample_impl",
+        "compaction",
     ),
 )
 def _cascade_infer_device_batch_yuv(y_planes, uv_planes, coords_norm, boxes_float,
@@ -688,7 +738,7 @@ def _cascade_infer_device_batch_yuv(y_planes, uv_planes, coords_norm, boxes_floa
                                     capacities, confidence_mode, thresholds,
                                     high_precision=False, extraction_mode="gather",
                                     chunk=16384, nms_min_neighbors=-1,
-                                    resample_impl="xla"):
+                                    resample_impl="xla", compaction="rank"):
     """Batched cascade over YUV420 frames: (B, H, W) Y + (B, H/2, W/2, 2) UV
     uint8 -> same packed result as the RGB program. Half the ingress bytes of
     RGB24 (see ops/color.py); conversion fuses into the program."""
@@ -701,7 +751,7 @@ def _cascade_infer_device_batch_yuv(y_planes, uv_planes, coords_norm, boxes_floa
             image, coords_norm, boxes_float, stage_params, stage_stats, plan,
             stage_configs, capacities, confidence_mode, thresholds,
             high_precision, extraction_mode, chunk, nms_min_neighbors,
-            resample_impl,
+            resample_impl, compaction,
         )
         return _pack_result(*out)
 
@@ -879,6 +929,7 @@ class CascadeDetector:
                     int(cf.get("inference_chunk_size")),
                     nms_mn,
                     resample or resolve_resample_impl(),
+                    resolve_compaction(),
                 )
 
             # bounded software pipeline: keep `depth` chunks in flight so the

@@ -48,7 +48,7 @@ except ImportError:  # pragma: no cover - older jax
 
 from .. import config as cf_mod
 from ..models import cnn
-from ..models.cascade import _apply_stage_on_boxes_chunked
+from ..models.cascade import _apply_stage_on_boxes_chunked, _compact_indices
 from ..ops import nms as nms_ops
 from ..ops.pyramid import PyramidPlan
 from .mesh import DATA_AXIS
@@ -70,6 +70,7 @@ def _pad_len(n: int, d: int) -> int:
         "mesh",
         "chunk",
         "resample_impl",
+        "compaction",
     ),
 )
 def cascade_infer_window_sharded(
@@ -87,6 +88,7 @@ def cascade_infer_window_sharded(
     mesh: Mesh,
     chunk: int = 16384,
     resample_impl: str = "xla",
+    compaction: str = "rank",
 ):
     """Single-image cascade with the WINDOW axis sharded over ``mesh``.
 
@@ -160,11 +162,10 @@ def cascade_infer_window_sharded(
 
     for i in range(1, n_stages):
         cap = _pad_len(capacities[i - 1], n_dev)
-        # global compaction over the replicated survivor tuples: alive
-        # windows first, strongest first (identical on every chip)
-        order = jnp.argsort(-(alive.astype(jnp.float32) * (1.0 + p_fg)))
-        keep = order[:cap]
-        alive = alive[keep]
+        # global compaction over the replicated survivor tuples (identical
+        # on every chip): "scan" selects in window order without a full
+        # device sort, "rank" sorts alive-first/strongest-first
+        keep, alive = _compact_indices(alive, p_fg, cap, compaction)
         conf = conf[keep]
         p_fg = p_fg[keep]
         window_ids = window_ids[keep]
@@ -263,6 +264,7 @@ def detect_window_sharded(detector, image, mesh: Mesh):
             mesh,
             int(cf_mod.get("inference_chunk_size")),
             resample,
+            casc.resolve_compaction(),
         )
 
     def decode(out, caps):

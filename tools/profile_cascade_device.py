@@ -88,7 +88,8 @@ def main():
         jnp.float32,
     )
 
-    def scan_cascade(nms_mn, resample, label, caps_=None, chunk=16384):
+    def scan_cascade(nms_mn, resample, label, caps_=None, chunk=16384,
+                     compaction="rank"):
         cc = caps_ or caps
 
         @jax.jit
@@ -98,7 +99,7 @@ def main():
                 out = casc._cascade_core(
                     im, coords_norm, boxes_float, params, stats, plan, cfgs,
                     cc, "mult", (0.5, 0.5, 0.5), False, "crop", chunk,
-                    nms_mn, resample,
+                    nms_mn, resample, compaction,
                 )
                 return jnp.sum(out[1]), None
 
@@ -112,6 +113,10 @@ def main():
     scan_cascade(-1, "pallas", "full cascade (pallas, no NMS)")
     scan_cascade(1, "pallas2", "full cascade (pallas2, dev-NMS)")
     scan_cascade(-1, "xla", "full cascade (xla,    no NMS)")
+    scan_cascade(1, "pallas2", "full cascade (pallas2, scan cmp)",
+                 compaction="scan")
+    scan_cascade(-1, "pallas2", "full (pallas2, no NMS, scan cmp)",
+                 compaction="scan")
 
     # stage-0 only: extraction + CNN + threshold (no compaction/sort)
     def stage0_only(resample, label):
@@ -157,6 +162,14 @@ def main():
     sort_test(
         lambda p: jnp.sum(jax.lax.top_k(p, caps[0])[1].astype(jnp.float32)),
         f"top_k   {n} -> {caps[0]}",
+    )
+    sort_test(
+        lambda p: jnp.sum(
+            casc._compact_indices(p > 0.0, p, caps[0], "scan")[0].astype(
+                jnp.float32
+            )
+        ),
+        f"scan-compact {n} -> {caps[0]}",
     )
 
 
