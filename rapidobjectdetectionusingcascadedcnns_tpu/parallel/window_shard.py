@@ -12,9 +12,10 @@ Design:
     ``shard_map`` with the window axis partitioned over ``"data"`` — each
     chip scores n_windows/D windows against the replicated image/params;
   * the per-window results (foreground prob, bottleneck) come back sharded;
-    the compaction argsort is a *global* operation, so XLA inserts the
-    all-gather of the surviving (prob, bottleneck) tuples when the jitted
-    program consumes them replicated — the collective the SURVEY promised;
+    compaction (scan selection or rank argsort, models/cascade.py
+    `_compact_indices`) is a *global* operation, so the surviving
+    (prob, bottleneck) tuples ride an explicit all-gather before it — the
+    collective the SURVEY promised;
   * each later stage re-shards its fixed-capacity survivor buffer (capacities
     are 128-multiples, so they divide any power-of-two mesh) and repeats.
 
