@@ -54,11 +54,19 @@ class SyntheticProvider:
     ``source``: "patches" (procedural face/texture patches), "scenes"
     (patches sampled from full scenes via the offline-sampling flow — the
     distribution pyramid windows actually see), or "mixed" (half each).
+
+    ``hard_negatives``: optional (N, top, top, 3) uint8 array of mined
+    false-positive windows (tools/mine_hard_negatives.py) appended to the
+    negative corpus before the shuffle — the bootstrap step of the
+    reference's sampling design (/root/reference/app/sampling_app.py:
+    negatives are re-sampled where the current detector fires). Lower
+    resolutions are derived by the same aligned block-mean as the scene
+    corpus so all stages see pixel-aligned views of each mined window.
     """
 
     def __init__(
         self, n_pos: int, n_neg: int, sizes: List[int], seed: int = 0,
-        source: str = "patches",
+        source: str = "patches", hard_negatives=None,
     ):
         import numpy as _np
 
@@ -87,6 +95,32 @@ class SyntheticProvider:
             }
         else:
             raise ValueError("unknown corpus source {!r}".format(source))
+        if hard_negatives is not None and len(hard_negatives):
+            top = max(sizes)
+            hn = _np.asarray(hard_negatives, _np.uint8)
+            if hn.shape[1] != top:
+                raise ValueError(
+                    "hard negatives must be at the top stage resolution "
+                    "({}), got {}".format(top, hn.shape[1])
+                )
+            views = {top: hn}
+            for s in sizes:
+                if s == top:
+                    continue
+                factor = top // s
+                down = hn.reshape(len(hn), s, factor, s, factor, 3).mean(
+                    axis=(2, 4)
+                )
+                views[s] = _np.clip(_np.round(down), 0, 255).astype(_np.uint8)
+            bundle = {
+                "labels": _np.concatenate(
+                    [bundle["labels"], _np.zeros(len(hn), _np.int32)]
+                ),
+                "images": {
+                    s: _np.concatenate([imgs, views[s]])
+                    for s, imgs in bundle["images"].items()
+                },
+            }
         n = len(bundle["labels"])
         perm = deterministic_shuffle(n, cf.get("shuffle_seed"))
         self._labels = bundle["labels"][perm]

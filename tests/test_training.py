@@ -116,6 +116,40 @@ class TestAugmentedTraining:
         assert res["accuracy"] > 0.5, res
 
 
+class TestHardNegatives:
+    def test_provider_appends_mined_negatives_at_all_resolutions(self):
+        """SyntheticProvider(hard_negatives=...) grows the corpus by the
+        mined count with label 0, and derives lower stage resolutions by
+        the same aligned block-mean as the scene corpus (the bootstrap step
+        of the reference's sampling design, tools/mine_hard_negatives.py)."""
+        _fast_config()
+        rng = np.random.RandomState(7)
+        mined = rng.randint(0, 255, size=(10, 24, 24, 3)).astype(np.uint8)
+        base = ct.SyntheticProvider(20, 20, [12, 24], seed=5)
+        prov = ct.SyntheticProvider(
+            20, 20, [12, 24], seed=5, hard_negatives=mined
+        )
+        assert len(prov._labels) == len(base._labels) + 10
+        assert int(prov._labels.sum()) == int(base._labels.sum())  # all label 0
+        # the mined patches appear verbatim at the top resolution
+        top_imgs = prov._images[24]
+        assert any(
+            (top_imgs == m).all(axis=(1, 2, 3)).any() for m in mined[:3]
+        )
+        # and the 12px view is the aligned 2x2 block-mean of the 24px view
+        m0 = mined[0]
+        down = np.clip(
+            np.round(m0.reshape(12, 2, 12, 2, 3).mean(axis=(1, 3))), 0, 255
+        ).astype(np.uint8)
+        assert (prov._images[12] == down).all(axis=(1, 2, 3)).any()
+
+    def test_wrong_resolution_rejected(self):
+        _fast_config()
+        mined = np.zeros((3, 16, 16, 3), np.uint8)
+        with pytest.raises(ValueError):
+            ct.SyntheticProvider(8, 8, [12, 24], seed=5, hard_negatives=mined)
+
+
 class TestSnapshotResume:
     def test_resume_from_exported_stage(self, tmp_path):
         """snapshot_full_path warm-starts training (config.py:142-144,

@@ -39,6 +39,11 @@ CANDIDATES = [
     ("stage4-s0", 5000, 40000, 20, 0, {"cascade_n_nets": 4}),
     # recall-heavier boosting schedule
     ("beta4-s0", 5000, 40000, 20, 0, {"max_beta": 4}),
+    # hard-negative bootstrap round: deep2 retrained with the flagship's
+    # own mined false positives (tools/mine_hard_negatives.py), replicated
+    # 8x so ~4k effective hard samples weigh against the 40k base negatives
+    ("deep2-hnm-s0", 5000, 40000, 20, 0,
+     {"conv_filter_sizes": [32, 32], "_hard_negatives": 8}),
 ]
 
 
@@ -68,7 +73,11 @@ def main():
         cf.reset()
         tf_mod.flagship_config(cf)
         cf.set("epochs_total", epochs)
+        hn_rep = 0
         for k, v in overrides.items():
+            if k == "_hard_negatives":
+                hn_rep = int(v)
+                continue
             cf.set(k, v)
         from rapidobjectdetectionusingcascadedcnns_tpu.models.cnn import (
             stage_input_sizes,
@@ -77,8 +86,18 @@ def main():
         sizes = stage_input_sizes(
             cf.get("cascade_n_nets"), cf.get("img_width"), True
         )
+        hard = None
+        if hn_rep:
+            import numpy as _np
+
+            with _np.load(
+                os.path.join(tf_mod.ARTIFACT_DIR, "hard_negatives.npz")
+            ) as z:
+                hard = _np.repeat(z["images"], hn_rep, axis=0)
+            print(f"{name}: {len(hard)} hard-negative samples "
+                  f"(x{hn_rep} replication)", flush=True)
         provider = ct.SyntheticProvider(
-            n_pos, n_neg, sizes, seed=seed, source="mixed"
+            n_pos, n_neg, sizes, seed=seed, source="mixed", hard_negatives=hard
         )
         trainer = ct.CascadeTrainer(provider, seed=seed)
         t0 = time.time()
@@ -101,6 +120,36 @@ def main():
             best = (model, stats, dict(overrides))
 
     model, stats, win_overrides = best
+
+    # merge this run's candidates into the recorded sweep (partial reruns
+    # with a name filter must extend the record, not erase it)
+    sweep_path = os.path.join(tf_mod.ARTIFACT_DIR, "flagship_sweep.json")
+    prior = {"candidates": [], "winner": None}
+    if os.path.exists(sweep_path):
+        with open(sweep_path) as f:
+            prior = json.load(f)
+    merged = [
+        c for c in prior["candidates"]
+        if c.get("candidate") not in {r.get("candidate") for r in results}
+    ] + results
+
+    # promote only if the run's best beats the incumbent flagship artifact
+    eval_path = os.path.join(tf_mod.ARTIFACT_DIR, "flagship_eval.json")
+    incumbent = None
+    if os.path.exists(eval_path):
+        with open(eval_path) as f:
+            incumbent = json.load(f)
+    if incumbent is not None and rank_key(incumbent) <= rank_key(stats):
+        print(f"incumbent flagship stays (recall={incumbent['recall']} "
+              f"fp={incumbent['false_pos_per_scene']} vs challenger "
+              f"{stats['recall']}/{stats['false_pos_per_scene']})")
+        with open(sweep_path, "w") as f:
+            json.dump(
+                {"candidates": merged, "winner": prior.get("winner")},
+                f, indent=1,
+            )
+        return
+
     checkpoint.save_cascade(tf_mod.ARTIFACT_DIR, tf_mod.SESSION_KEY, model)
     # threshold sensitivity for the winner (the reference's FDDB output is a
     # curve, not one operating point)
@@ -113,13 +162,12 @@ def main():
         }
         for t in (0.3, 0.7)
     ]
-    with open(os.path.join(tf_mod.ARTIFACT_DIR, "flagship_eval.json"), "w") as f:
+    with open(eval_path, "w") as f:
         json.dump({k: v for k, v in stats.items() if k != "candidate"}, f, indent=1)
-    with open(os.path.join(tf_mod.ARTIFACT_DIR, "flagship_sweep.json"), "w") as f:
-        json.dump({"candidates": results, "winner": stats["candidate"]}, f, indent=1)
-    if win_overrides:
-        with open(os.path.join(tf_mod.ARTIFACT_DIR, "flagship_overrides.json"), "w") as f:
-            json.dump(win_overrides, f, indent=1)
+    with open(sweep_path, "w") as f:
+        json.dump({"candidates": merged, "winner": stats["candidate"]}, f, indent=1)
+    with open(os.path.join(tf_mod.ARTIFACT_DIR, "flagship_overrides.json"), "w") as f:
+        json.dump(win_overrides, f, indent=1)
     print(f"winner: {stats['candidate']} recall={stats['recall']} "
           f"fp/scene={stats['false_pos_per_scene']} "
           f"survivors_max={stats['survivors_max']} "

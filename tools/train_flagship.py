@@ -111,7 +111,7 @@ def benchmark_scenes(n_scenes=100, seed0=100):
 
 
 def evaluate_on_scenes(model, n_scenes=100, seed0=100, threshold=0.5,
-                       miss_analysis=True):
+                       miss_analysis=True, min_neighbors=1):
     """Scene-level recall / false positives + survivor stats at the
     benchmark inference config (default 100 scenes / 300 faces — verdict r2
     items 4+9: the quality line must not be a 20-scene sample).
@@ -132,7 +132,7 @@ def evaluate_on_scenes(model, n_scenes=100, seed0=100, threshold=0.5,
     cf.set("min_window_length", 0.075)
     cf.set("foreground_confidence_threshold", threshold)
     cf.set("nms", cf.NMS_OPENCV)
-    cf.set("nms_opencv_min_neighbors", 1)
+    cf.set("nms_opencv_min_neighbors", min_neighbors)
 
     detector = casc.CascadeDetector(model)
     scenes = benchmark_scenes(n_scenes, seed0)
@@ -187,6 +187,7 @@ def evaluate_on_scenes(model, n_scenes=100, seed0=100, threshold=0.5,
         "n_scenes": n_scenes,
         "n_faces": int(tp + fn),
         "threshold": threshold,
+        "min_neighbors": min_neighbors,
         "recall": round(tp / max(tp + fn, 1), 3),
         "false_pos_per_scene": round(fp / n_scenes, 2),
         "n_windows": int(results[0].n_windows),
