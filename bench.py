@@ -85,6 +85,13 @@ def main() -> None:
     if model is None:
         model = casc.build_cascade_model(seed=0)
 
+    # run at the flagship's SHIPPED operating threshold (the sweep picks the
+    # best recall subject to the FP budget across a threshold curve — the
+    # reference's own evaluation is threshold-swept, evaluate_fddb_app.py:
+    # 171-179); falls back to the reference default 0.5 set above
+    if quality and quality.get("threshold") is not None:
+        cf.set("foreground_confidence_threshold", float(quality["threshold"]))
+
     # production capacity tuning: size the survivor buffers from the trained
     # model's MEASURED survivor distribution (tools/train_flagship.py eval)
     # with 1.5x headroom — the documented deployment recipe; saturation
@@ -251,6 +258,7 @@ def main() -> None:
             "false_pos_per_scene": quality.get("false_pos_per_scene"),
             "n_scenes": quality.get("n_scenes"),
             "n_faces": quality.get("n_faces"),
+            "threshold": quality.get("threshold"),
         }
     print(json.dumps(out))
 

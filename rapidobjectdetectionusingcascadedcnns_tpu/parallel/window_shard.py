@@ -20,10 +20,18 @@ Design:
     are 128-multiples, so they divide any power-of-two mesh) and repeats.
 
 Per-window math is independent of its neighbors, so shard-local shapes do
-not change any window's result: detections are BIT-IDENTICAL to the
-single-device program in crop extraction mode (the sharded program samples
-stage-0 windows with the chunked crop kernel — the mode dense pyramids use
-anyway; asserted in tests/test_window_shard.py on an 8-device CPU mesh).
+not change any window's result. Both stage-0 extraction modes are covered
+(asserted in tests/test_window_shard.py on an 8-device CPU mesh):
+
+  * crop (chunked interpolation einsum — the mode dense pyramids use
+    anyway): detections are BIT-IDENTICAL to the single-device program;
+  * gather (per-level fused resize+gather, the coarse-pyramid/VGA mode):
+    the window tensor is produced inside a replicated shard_map (preserving
+    the single-device reduction order), padded, and re-sharded over the
+    window axis before the CNN — survivor sets, window ids and integer
+    boxes are identical; confidences agree within 2 ulp of float32 (the
+    full 8-shard program's fusion context can move one softmax by 1 ulp
+    even though every isolated sub-program reproduces bit-exactly).
 """
 
 from __future__ import annotations
@@ -52,6 +60,7 @@ from ..models import cnn
 from ..models.cascade import _apply_stage_on_boxes_chunked, _compact_indices
 from ..ops import nms as nms_ops
 from ..ops.pyramid import PyramidPlan
+from ..ops.windows import extract_windows
 from .mesh import DATA_AXIS
 
 
@@ -72,6 +81,7 @@ def _pad_len(n: int, d: int) -> int:
         "chunk",
         "resample_impl",
         "compaction",
+        "extraction_mode",
     ),
 )
 def cascade_infer_window_sharded(
@@ -90,6 +100,7 @@ def cascade_infer_window_sharded(
     chunk: int = 16384,
     resample_impl: str = "xla",
     compaction: str = "rank",
+    extraction_mode: str = "crop",
 ):
     """Single-image cascade with the WINDOW axis sharded over ``mesh``.
 
@@ -143,14 +154,55 @@ def cascade_infer_window_sharded(
         return probs, bneck_out
 
     # ---- stage 0: windows sharded over chips ----
-    stage0 = shard_map(
-        functools.partial(_stage_local, 0),
-        mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P()),
-        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
-        check_rep=False,
-    )
-    probs0, bottleneck = stage0(boxes_p, jnp.zeros((1, 1), jnp.float32))
+    if extraction_mode == "gather":
+        # coarse-pyramid mode: the per-level fused resize+gather produces the
+        # (N0, s0, s0, C) window tensor; it runs inside a REPLICATED
+        # shard_map (every chip computes the full, un-partitioned extraction
+        # program — cheap at coarse density, ~0.4 ms/frame VGA) so its resize
+        # einsums keep the exact single-device reduction order: letting GSPMD
+        # partition them re-associates the contractions and drifts window
+        # pixels by ulps. The tensor is then padded to a device multiple and
+        # re-sharded over the window axis, and each chip scores its shard
+        # with the same CNN apply the single-device path uses.
+        extract_rep = shard_map(
+            lambda img: extract_windows(img, plan),
+            mesh=mesh,
+            in_specs=(P(),),
+            out_specs=P(),
+            check_rep=False,
+        )
+        wins0 = extract_rep(image_f)
+        pad_rows = n0_pad - n0
+        if pad_rows:
+            wins0 = jnp.concatenate(
+                [wins0, jnp.broadcast_to(wins0[-1:], (pad_rows,) + wins0.shape[1:])]
+            )
+        wins0 = jax.lax.with_sharding_constraint(
+            wins0, NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+        )
+
+        def _stage0_gather_local(wins_local):
+            x = (wins_local - mean0) / std0
+            out0 = cnn.apply_stage(stage_params[0], stage_configs[0], x)
+            return out0["probs"], out0["bottleneck"]
+
+        stage0 = shard_map(
+            _stage0_gather_local,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None, None, None),),
+            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+            check_rep=False,
+        )
+        probs0, bottleneck = stage0(wins0)
+    else:
+        stage0 = shard_map(
+            functools.partial(_stage_local, 0),
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None), P()),
+            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+            check_rep=False,
+        )
+        probs0, bottleneck = stage0(boxes_p, jnp.zeros((1, 1), jnp.float32))
     # explicit all-gather of the per-window results over ICI: the compaction
     # below is a global argsort, so every chip needs the full tuple set
     probs0 = jax.lax.with_sharding_constraint(probs0, rep)
@@ -244,10 +296,11 @@ def detect_window_sharded(detector, image, mesh: Mesh):
         boxes_padded, NamedSharding(mesh, P(DATA_AXIS, None))
     )
     resample = casc.resolve_resample_impl()
-    if resample == "pallas2":
+    if resample in ("pallas2", "pallas2dyn"):
         # the scheduled stage-0 kernel assumes the full (unsharded) plan
         # geometry; shard-local window subsets use the v1 kernel
         resample = "pallas"
+    extraction_mode = casc.resolve_extraction_mode(plan)
 
     def run(caps):
         return cascade_infer_window_sharded(
@@ -266,6 +319,7 @@ def detect_window_sharded(detector, image, mesh: Mesh):
             int(cf_mod.get("inference_chunk_size")),
             resample,
             casc.resolve_compaction(),
+            extraction_mode,
         )
 
     def decode(out, caps):

@@ -41,19 +41,56 @@ CANDIDATES = [
     ("beta4-s0", 5000, 40000, 20, 0, {"max_beta": 4}),
     # hard-negative bootstrap round: deep2 retrained with the flagship's
     # own mined false positives (tools/mine_hard_negatives.py), replicated
-    # 8x so ~4k effective hard samples weigh against the 40k base negatives
+    # Nx against the 40k base negatives. x8 measured recall 0.917 @ 0.0
+    # FP/scene (over-weighted: all FP margin, recall regressed), hence the
+    # lighter x2/x4 variants
     ("deep2-hnm-s0", 5000, 40000, 20, 0,
      {"conv_filter_sizes": [32, 32], "_hard_negatives": 8}),
+    ("deep2-hnm4-s0", 5000, 40000, 20, 0,
+     {"conv_filter_sizes": [32, 32], "_hard_negatives": 4}),
+    ("deep2-hnm2-s0", 5000, 40000, 20, 0,
+     {"conv_filter_sizes": [32, 32], "_hard_negatives": 2}),
 ]
+
+# the quality bar is an OPERATING POINT, not a fixed threshold: the
+# reference's own evaluation sweeps the detection-score cut into a curve
+# (/root/reference/app/evaluate_fddb_app.py:171-179). A candidate is scored
+# by its best recall among thresholds whose false-positive rate stays within
+# budget; the chosen threshold ships in the artifact and bench.py runs at it.
+OP_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+FP_BUDGET = 0.5  # false positives per scene (verdict r2 item 4)
+
+
+def operating_sweep(evaluate, model):
+    """Evaluate ``model`` at each operating threshold; returns
+    (points, best_feasible) where best_feasible maximizes recall subject to
+    fp <= FP_BUDGET (falls back to the lowest-fp point when nothing is
+    feasible, so degenerate candidates still rank deterministically)."""
+    points = []
+    for t in OP_THRESHOLDS:
+        stats = evaluate(model, threshold=t, miss_analysis=False)
+        stats["threshold"] = t
+        points.append(stats)
+    feasible = [p for p in points if p["false_pos_per_scene"] <= FP_BUDGET]
+    if feasible:
+        best = max(feasible, key=lambda p: (p["recall"], -p["false_pos_per_scene"]))
+    else:
+        best = min(points, key=lambda p: p["false_pos_per_scene"])
+    return points, best
 
 
 def rank_key(stats):
-    # recall first; then a combined cost: false positives traded against
-    # stage-0 survivor sharpness (survivors_max[0] sets the bench capacity
-    # schedule — ~0.2 ms/frame per 300 extra survivors at VGA)
+    # feasible-point recall first; then a combined cost at that point:
+    # false positives traded against stage-0 survivor sharpness
+    # (survivors_max[0] sets the bench capacity schedule — ~0.2 ms/frame per
+    # 300 extra survivors at VGA). Infeasible candidates (fp over budget at
+    # every threshold) sort after every feasible one.
+    point = stats.get("best_feasible", stats)
+    infeasible = point["false_pos_per_scene"] > FP_BUDGET
     return (
-        -stats["recall"],
-        stats["false_pos_per_scene"] + stats["survivors_max"][0] / 2000.0,
+        infeasible,
+        -point["recall"],
+        point["false_pos_per_scene"] + point["survivors_max"][0] / 2000.0,
     )
 
 
@@ -108,8 +145,17 @@ def main():
             results.append({"candidate": name, "error": str(exc)})
             continue
         train_secs = time.time() - t0
-        stats = tf_mod.evaluate_on_scenes(model)
-        summary = {k: v for k, v in stats.items() if k != "misses"}
+        points, chosen = operating_sweep(tf_mod.evaluate_on_scenes, model)
+        # headline the CHOSEN operating point; keep every point on record
+        stats = dict(chosen)
+        stats["operating_points"] = [
+            {k: v for k, v in p.items() if k != "misses"} for p in points
+        ]
+        stats["fp_budget"] = FP_BUDGET
+        summary = {
+            k: v for k, v in stats.items()
+            if k not in ("misses", "operating_points")
+        }
         stats["candidate"] = name
         summary["candidate"] = name
         stats["train_secs"] = summary["train_secs"] = round(train_secs, 1)
@@ -133,16 +179,39 @@ def main():
         if c.get("candidate") not in {r.get("candidate") for r in results}
     ] + results
 
-    # promote only if the run's best beats the incumbent flagship artifact
+    # promote only if the run's best beats the incumbent flagship artifact —
+    # compared at each side's best FEASIBLE operating point. The incumbent's
+    # eval json may predate operating-point headlining (a fixed-0.5 record);
+    # in that case rebuild its feasible point from the recorded
+    # threshold x min_neighbors grid (tools/operating_points.py) when one
+    # exists, else fall back to its headline numbers.
     eval_path = os.path.join(tf_mod.ARTIFACT_DIR, "flagship_eval.json")
     incumbent = None
     if os.path.exists(eval_path):
         with open(eval_path) as f:
             incumbent = json.load(f)
+    if incumbent is not None and "operating_points" not in incumbent:
+        grid_path = os.path.join(
+            tf_mod.ARTIFACT_DIR, "flagship_operating_points.json"
+        )
+        if os.path.exists(grid_path):
+            with open(grid_path) as f:
+                grid = [
+                    p for p in json.load(f)["points"]
+                    if p.get("min_neighbors", 1) == 1
+                ]
+            feas = [p for p in grid if p["false_pos_per_scene"] <= FP_BUDGET]
+            if feas:
+                incumbent = max(
+                    feas,
+                    key=lambda p: (p["recall"], -p["false_pos_per_scene"]),
+                )
     if incumbent is not None and rank_key(incumbent) <= rank_key(stats):
         print(f"incumbent flagship stays (recall={incumbent['recall']} "
-              f"fp={incumbent['false_pos_per_scene']} vs challenger "
-              f"{stats['recall']}/{stats['false_pos_per_scene']})")
+              f"fp={incumbent['false_pos_per_scene']} @thr "
+              f"{incumbent.get('threshold')} vs challenger "
+              f"{stats['recall']}/{stats['false_pos_per_scene']} @thr "
+              f"{stats.get('threshold')})")
         with open(sweep_path, "w") as f:
             json.dump(
                 {"candidates": merged, "winner": prior.get("winner")},
@@ -151,19 +220,18 @@ def main():
         return
 
     checkpoint.save_cascade(tf_mod.ARTIFACT_DIR, tf_mod.SESSION_KEY, model)
-    # threshold sensitivity for the winner (the reference's FDDB output is a
-    # curve, not one operating point)
-    stats["threshold_sensitivity"] = [
-        {
-            k: v
-            for k, v in tf_mod.evaluate_on_scenes(
-                model, threshold=t, miss_analysis=False
-            ).items()
-        }
-        for t in (0.3, 0.7)
-    ]
+    # re-evaluate the winner at its shipped threshold WITH the per-miss
+    # geometric analysis for the headline artifact
+    headline = tf_mod.evaluate_on_scenes(
+        model, threshold=stats["threshold"], miss_analysis=True
+    )
+    headline["threshold"] = stats["threshold"]
+    headline["fp_budget"] = FP_BUDGET
+    headline["operating_points"] = stats["operating_points"]
+    headline["train_secs"] = stats["train_secs"]
+    headline["overrides"] = stats["overrides"]
     with open(eval_path, "w") as f:
-        json.dump({k: v for k, v in stats.items() if k != "candidate"}, f, indent=1)
+        json.dump(headline, f, indent=1)
     with open(sweep_path, "w") as f:
         json.dump({"candidates": merged, "winner": stats["candidate"]}, f, indent=1)
     with open(os.path.join(tf_mod.ARTIFACT_DIR, "flagship_overrides.json"), "w") as f:
