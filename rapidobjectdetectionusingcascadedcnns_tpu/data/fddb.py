@@ -115,15 +115,23 @@ def write_ellipse_ground_truth(
 
 def boxes_to_ellipses(boxes: np.ndarray) -> np.ndarray:
     """Face boxes (xyxy) -> FDDB-style ellipses
-    (major_r, minor_r, angle, cx, cy); the inverse of the detector's
-    vertical-enlargement convention (reference rectangles.py:186-220:
-    boxes sit below the chin, ellipses extend above)."""
+    (major_r, minor_r, angle, cx, cy); the EXACT inverse of the detector's
+    vertical-enlargement convention (reference rectangles.py:186-220: face
+    boxes sit below the chin, annotation ellipses extend ABOVE into the
+    forehead — which is why the reference enlarges detection boxes by 0.2h
+    at the TOP only). The ellipse is therefore centered 0.1h above the box
+    center with vertical major radius 0.6h: a perfectly-aligned enlarged
+    detection box is the ellipse's exact bounding box, the same best-case
+    rasterized IoU (pi/4) a perfect detector achieves on real FDDB."""
     boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
     w = boxes[:, 2] - boxes[:, 0]
     h = boxes[:, 3] - boxes[:, 1]
     cx = boxes[:, 0] + w / 2
-    cy = boxes[:, 1] + h / 2
-    return np.stack([h / 2 * 1.2, w / 2, np.zeros_like(w), cx, cy], axis=1)
+    cy = boxes[:, 1] + h / 2 - 0.1 * h
+    # angle pi/2: the major axis points UP (the official annotations measure
+    # the major-axis direction from the x-axis; upright faces are ~pi/2)
+    angle = np.full_like(w, np.pi / 2)
+    return np.stack([h / 2 * 1.2, w / 2, angle, cx, cy], axis=1)
 
 
 def make_synthetic_corpus(

@@ -82,9 +82,20 @@ def main():
     cf.set("nms", cf.NMS_OPENCV)
     cf.set("nms_opencv_min_neighbors", 1)
     # export EVERY detection the cascade emits with its confidence: the ROC
-    # sweep needs the full score range, not one operating point — use a low
-    # last-stage threshold so weak candidates reach the output with scores
-    cf.set("foreground_confidence_threshold", [0.5, 0.5, 0.2])
+    # sweep needs the full score range, not one operating point — early
+    # stages run at the flagship's SHIPPED operating threshold (from the
+    # promoted eval artifact; reference default 0.5 otherwise) and the last
+    # stage at a low 0.2 so weak candidates reach the output with scores
+    ship_thr = 0.5
+    eval_json = os.path.join(ARTIFACT_DIR, "flagship_eval.json")
+    if os.path.exists(eval_json):
+        with open(eval_json) as f:
+            ship_thr = float(json.load(f).get("threshold", ship_thr))
+    n_nets = cf.get("cascade_n_nets")
+    cf.set(
+        "foreground_confidence_threshold",
+        [ship_thr] * (n_nets - 1) + [min(ship_thr, 0.2)],
+    )
 
     from rapidobjectdetectionusingcascadedcnns_tpu.apps.evaluate_fddb import (
         EvaluateFDDBApp,

@@ -89,16 +89,27 @@ def main():
     )
 
     def scan_cascade(nms_mn, resample, label, caps_=None, chunk=16384,
-                     compaction="rank"):
+                     compaction="rank", model_=None, thresholds=(0.5, 0.5, 0.5)):
         cc = caps_ or caps
+        if model_ is not None:
+            p_ = tuple(
+                jax.tree_util.tree_map(jnp.asarray, p) for p in model_.stage_params
+            )
+            s_ = tuple(
+                (jnp.asarray(m), jnp.asarray(s))
+                for m, s in zip(model_.stage_means, model_.stage_stds)
+            )
+            c_ = tuple(model_.stage_configs)
+        else:
+            p_, s_, c_ = params, stats, cfgs
 
         @jax.jit
         def run(image):
             def step(carry, _):
                 im = image.at[0, 0, 0].add(carry * 1e-30)
                 out = casc._cascade_core(
-                    im, coords_norm, boxes_float, params, stats, plan, cfgs,
-                    cc, "mult", (0.5, 0.5, 0.5), False, "crop", chunk,
+                    im, coords_norm, boxes_float, p_, s_, plan, c_,
+                    cc, "mult", thresholds, False, "crop", chunk,
                     nms_mn, resample, compaction,
                 )
                 return jnp.sum(out[1]), None
@@ -117,6 +128,46 @@ def main():
                  compaction="scan")
     scan_cascade(-1, "pallas2", "full (pallas2, no NMS, scan cmp)",
                  compaction="scan")
+
+    # deployment-honest row: the TRAINED flagship at its shipped operating
+    # threshold with capacities sized from its MEASURED survivors on this
+    # image (the bench.py recipe: x1.5 headroom, 128-aligned; saturation
+    # re-dispatch is the correctness net). The default-cap rows above are
+    # the untrained worst case — a production cascade's stage-0 rejects
+    # most windows, which is the whole point of the reference's design.
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)))
+        )
+        import json as _json
+
+        import train_flagship
+
+        fmodel = train_flagship.load_flagship()
+        ship_thr = 0.5
+        ej = os.path.join(train_flagship.ARTIFACT_DIR, "flagship_eval.json")
+        if os.path.exists(ej):
+            with open(ej) as f:
+                ship_thr = float(_json.load(f).get("threshold", 0.5))
+    except Exception as exc:
+        print(f"flagship artifact unavailable ({exc}); skipping trained rows")
+        fmodel = None
+    if fmodel is not None:
+        cf.set("foreground_confidence_threshold", ship_thr)
+        det = casc.CascadeDetector(fmodel)
+        res = det.detect(np.asarray(img, np.uint8))
+        surv = res.n_survivors_per_stage
+        fcaps = tuple(
+            ((int(s * 1.5) + 127) // 128) * 128 for s in surv[:-1]
+        )
+        print(f"flagship survivors at this density: {surv} -> caps {fcaps}")
+        thr = (ship_thr,) * len(fmodel.stage_configs)
+        scan_cascade(1, "pallas2", "flagship cascade (pallas2, dev-NMS)",
+                     caps_=fcaps, compaction="scan", model_=fmodel,
+                     thresholds=thr)
+        scan_cascade(1, "pallas", "flagship cascade (pallas, dev-NMS)",
+                     caps_=fcaps, compaction="scan", model_=fmodel,
+                     thresholds=thr)
 
     # stage-0 only: extraction + CNN + threshold (no compaction/sort)
     def stage0_only(resample, label):
