@@ -46,11 +46,44 @@ import tempfile  # noqa: E402
 
 os.environ.setdefault("RODC_HOME", os.path.join(tempfile.gettempdir(), "rodc_test_home"))
 
+# Isolate the persistent XLA compilation cache: apps call jit_cache.enable()
+# (apps/base.py), and without this the suite reads/writes the SAME on-disk
+# cache as the TPU bench/profiling tools. A tool run killed mid-write leaves a
+# truncated entry whose native deserialization can segfault a later test-run
+# compile of the same key — observed as a hard SIGSEGV inside
+# jax compilation_cache.get_executable_and_time. A per-run temp dir makes the
+# suite hermetic; RODC_JIT_CACHE remains overridable for cache-reuse runs.
+if "RODC_JIT_CACHE" not in os.environ:
+    os.environ["RODC_JIT_CACHE"] = tempfile.mkdtemp(prefix="rodc_test_jit_cache_")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
 _PRISTINE_SNAPSHOT = None
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_memory_maps():
+    """Drop compiled-executable caches after every test module.
+
+    Each compiled cascade program holds thousands of anonymous mmaps (JIT
+    code + constants); across the full suite the process crosses the kernel's
+    vm.max_map_count (65530 default), at which point LLVM's JIT memory
+    manager segfaults mid-compile — observed as a hard SIGSEGV around test
+    ~300 (tests/test_windows_sched.py) in three consecutive full-suite runs,
+    with /proc/<pid>/maps at ~27k after only a quarter of the suite.
+    Executables are only reachable through jax's jit caches, so clearing them
+    per module bounds the map count; modules recompile their own programs
+    anyway, so the cross-module cache hit rate this sacrifices is small.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
+    import gc
+
+    gc.collect()
 
 
 @pytest.fixture(autouse=True)

@@ -50,6 +50,12 @@ CANDIDATES = [
      {"conv_filter_sizes": [32, 32], "_hard_negatives": 4}),
     ("deep2-hnm2-s0", 5000, 40000, 20, 0,
      {"conv_filter_sizes": [32, 32], "_hard_negatives": 2}),
+    # cheaper trunks + the same mined hard negatives: the deep2 winner costs
+    # ~2x device time/frame vs the single-block trunk (bench 424 -> 357 fps);
+    # if a narrower trunk holds recall >= incumbent it's a strict Pareto win
+    ("hnm4-s0", 5000, 40000, 20, 0, {"_hard_negatives": 4}),
+    ("deep24-hnm4-s0", 5000, 40000, 20, 0,
+     {"conv_filter_sizes": [24, 24], "_hard_negatives": 4}),
 ]
 
 # the quality bar is an OPERATING POINT, not a fixed threshold: the
