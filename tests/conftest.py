@@ -63,26 +63,42 @@ import pytest  # noqa: E402
 _PRISTINE_SNAPSHOT = None
 
 
+_MAPS_CLEAR_THRESHOLD = 8000
+
+
+def _n_memory_maps() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux: no map-count limit to manage
+        return 0
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _bound_jit_memory_maps():
-    """Drop compiled-executable caches after every test module.
+    """Drop compiled-executable caches when the process's mmap count grows.
 
     Each compiled cascade program holds thousands of anonymous mmaps (JIT
     code + constants); across the full suite the process crosses the kernel's
     vm.max_map_count (65530 default), at which point LLVM's JIT memory
     manager segfaults mid-compile — observed as a hard SIGSEGV around test
     ~300 (tests/test_windows_sched.py) in three consecutive full-suite runs,
-    with /proc/<pid>/maps at ~27k after only a quarter of the suite.
-    Executables are only reachable through jax's jit caches, so clearing them
-    per module bounds the map count; modules recompile their own programs
-    anyway, so the cross-module cache hit rate this sacrifices is small.
+    with /proc/<pid>/maps at ~47k after only a third of the suite
+    (test_cascade.py +14105, test_compaction.py +19194). Executables are
+    only reachable through jax's jit caches, so clearing them bounds the map
+    count (measured: 1419 final when clearing every module). Clearing is
+    conditional on an 8k threshold to keep cross-module cache hits: the
+    largest single-module growth observed is ~19k, so the peak stays under
+    ~27k — far from the kernel limit.
     """
     yield
+    if _n_memory_maps() < _MAPS_CLEAR_THRESHOLD:
+        return
+    import gc
+
     import jax
 
     jax.clear_caches()
-    import gc
-
     gc.collect()
 
 
