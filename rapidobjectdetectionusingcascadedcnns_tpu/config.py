@@ -164,6 +164,15 @@ def _build_defaults() -> Dict[str, Any]:
     # ----- architecture (reference config.py:239-295) -----
     cf["fc1_size"] = 512
     cf["conv_filter_sizes"] = [32]
+    # TPU addition: optional per-stage conv trunk widths for the cascade
+    # (list of conv_filter_sizes lists, one per net). The reference shares a
+    # single conv_filter_sizes across all cascade stages
+    # (/root/reference/config.py:249, network/net_builder.py) — but on TPU
+    # the stage-0 trunk runs on EVERY pyramid window while stages 1+ see only
+    # survivors, so a narrow stage 0 with deeper later stages trades device
+    # time where it is cheap. None => uniform conv_filter_sizes (reference
+    # behavior).
+    cf["conv_filter_sizes_per_stage"] = None
     cf["conv_stride"] = 1
     cf["conv_filter_size"] = 3
     cf["pooling_size"] = 3

@@ -345,30 +345,47 @@ class CascadeTrainer:
                 bneck_in = bottleneck_in_size
 
             use_inception = self.append_inception and stage == self.n_nets - 1
-            trial = 1
-            while True:
-                trainer = SingleNetTrainer(
-                    ds,
-                    f_beta=beta,
-                    bottleneck_in_size=bneck_in,
-                    nr=stage + 1,
-                    nr_max=self.n_nets,
-                    seed=self.seed + stage + 1000 * trial,
-                    use_inception=use_inception,
-                    mesh=self.mesh,
-                )
-                try:
-                    trainer.train()
-                    break
-                except ConstantPredictionException:
-                    if trial >= cf.get("cascade_max_same_beta"):
-                        raise
-                    log.log(
-                        "WARNING: Retrying with same beta value: {}/{}".format(
-                            trial, cf.get("cascade_max_same_beta")
+            # optional per-stage conv trunk width (TPU addition — see
+            # config.py conv_filter_sizes_per_stage): the stage trainer and
+            # its jitted steps capture conv_filter_sizes at construction, so
+            # overlaying it around the whole train block covers everything
+            per_stage = cf.get("conv_filter_sizes_per_stage")
+            if per_stage is not None and not use_inception:
+                if len(per_stage) < self.n_nets - int(self.append_inception):
+                    raise ValueError(
+                        "conv_filter_sizes_per_stage needs one entry per "
+                        "custom cascade stage ({} given, {} needed)".format(
+                            len(per_stage), self.n_nets - int(self.append_inception)
                         )
                     )
-                    trial += 1
+                stage_overlay = {"conv_filter_sizes": list(per_stage[stage])}
+            else:
+                stage_overlay = {}
+            trial = 1
+            with cf.overrides(**stage_overlay):
+                while True:
+                    trainer = SingleNetTrainer(
+                        ds,
+                        f_beta=beta,
+                        bottleneck_in_size=bneck_in,
+                        nr=stage + 1,
+                        nr_max=self.n_nets,
+                        seed=self.seed + stage + 1000 * trial,
+                        use_inception=use_inception,
+                        mesh=self.mesh,
+                    )
+                    try:
+                        trainer.train()
+                        break
+                    except ConstantPredictionException:
+                        if trial >= cf.get("cascade_max_same_beta"):
+                            raise
+                        log.log(
+                            "WARNING: Retrying with same beta value: {}/{}".format(
+                                trial, cf.get("cascade_max_same_beta")
+                            )
+                        )
+                        trial += 1
 
             trainer.restore_best()
             trainer.final_evaluation()

@@ -231,6 +231,41 @@ class TestCascadeTraining:
         combined = trainer.combined_results["valid"]
         assert combined["accuracy"] > 0.6, combined
 
+    def test_cascade_per_stage_conv_widths(self):
+        """conv_filter_sizes_per_stage gives each stage its own trunk width
+        (TPU addition — stage 0 sees every pyramid window, so a narrow
+        stage-0 trunk with deeper later stages is the device-cost trade);
+        the per-stage widths land in the saved stage_configs and the global
+        conv_filter_sizes is restored afterwards."""
+        _fast_config()
+        cf.set("cascade_n_nets", 2)
+        cf.set("img_width", 24)
+        cf.set("epochs_total", 1)
+        cf.set("conv_filter_sizes", [32])
+        cf.set("conv_filter_sizes_per_stage", [[16], [24, 24]])
+        provider = ct.SyntheticProvider(40, 40, [12, 24], seed=9)
+        model = ct.CascadeTrainer(provider, seed=0).train()
+
+        assert model.stage_configs[0].conv_filter_sizes == (16,)
+        assert model.stage_configs[1].conv_filter_sizes == (24, 24)
+        assert cf.get("conv_filter_sizes") == [32]
+        # the trained mixed-width cascade must run end-to-end
+        from rapidobjectdetectionusingcascadedcnns_tpu.data import synthetic
+        from rapidobjectdetectionusingcascadedcnns_tpu.models import cascade as casc
+
+        scene = synthetic.make_scene(96, 96, n_faces=1, seed=3, min_face=32,
+                                     max_face=48)
+        casc.CascadeDetector(model).detect(scene.image)
+
+    def test_cascade_per_stage_widths_length_mismatch(self):
+        _fast_config()
+        cf.set("cascade_n_nets", 2)
+        cf.set("img_width", 24)
+        cf.set("conv_filter_sizes_per_stage", [[16]])
+        provider = ct.SyntheticProvider(40, 40, [12, 24], seed=9)
+        with pytest.raises(ValueError, match="per_stage"):
+            ct.CascadeTrainer(provider, seed=0).train()
+
     def test_cascade_checkpoint_roundtrip(self, tmp_path):
         _fast_config()
         cf.set("cascade_n_nets", 2)

@@ -56,6 +56,12 @@ CANDIDATES = [
     ("hnm4-s0", 5000, 40000, 20, 0, {"_hard_negatives": 4}),
     ("deep24-hnm4-s0", 5000, 40000, 20, 0,
      {"conv_filter_sizes": [24, 24], "_hard_negatives": 4}),
+    # mixed-width trunk (conv_filter_sizes_per_stage): stage 0 runs on EVERY
+    # pyramid window so it keeps the cheap single-block trunk; stages 1/2 see
+    # only survivors and keep the deep2 capacity that won on recall
+    ("mix32-hnm4-s0", 5000, 40000, 20, 0,
+     {"conv_filter_sizes_per_stage": [[32], [32, 32], [32, 32]],
+      "_hard_negatives": 4}),
 ]
 
 # the quality bar is an OPERATING POINT, not a fixed threshold: the
