@@ -253,6 +253,12 @@ def main() -> None:
         "ingress_MBps": round(bytes_per_frame * n_frames / upload_s / 1e6, 1),
     }
     if quality:
+        # the flagship is promoted by recall-first operating-point ranking
+        # (tools/sweep_flagship.py): the deep2 trunk benches ~16% below the
+        # single-block trunk of earlier rounds (~425 fps) but lifts scene
+        # recall 0.883 -> 0.963 — the conv-width sweep showed the recall
+        # cannot be had cheaper (NOTES.md "Conv-width-at-fixed-recall")
+        out["operating_point"] = "recall-first (see NOTES.md conv-width sweep)"
         out["quality"] = {
             "scene_recall": quality.get("recall"),
             "false_pos_per_scene": quality.get("false_pos_per_scene"),
