@@ -90,6 +90,14 @@ class EvaluateFDDBApp(BaseApp):
         except FileNotFoundError as exc:
             log.log("in-repo FDDB scoring skipped (missing ground truth): {}".format(exc))
             return None
+        except Exception as exc:  # noqa: BLE001 — the in-repo scorer is
+            # additive: a malformed fold file must not abort the app before
+            # the official evaluator step (which predates this scorer) runs
+            log.log(
+                "WARNING: in-repo FDDB scoring failed ({}: {}); continuing "
+                "to the official evaluator".format(type(exc).__name__, exc)
+            )
+            return None
         path = fddb_eval.write_roc_artifact(
             result,
             os.path.join(self.export_dir, "fddb_roc.json"),

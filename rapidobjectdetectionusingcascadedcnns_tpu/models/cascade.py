@@ -695,14 +695,14 @@ def _cascade_infer_device_batch(images, coords_norm, boxes_float, stage_params,
                                 nms_min_neighbors=-1, resample_impl="xla",
                                 compaction="rank"):
     """Batched cascade program: (B, H, W, C) images -> one packed float32
-    (B, 3*C_last + n_stages) result array in ONE device round-trip.
+    (B, 3*C_last + 2*n_stages - 1 [+ device-NMS tail]) result array in ONE
+    device round-trip (see _pack_result for the exact layout).
 
     Batching frames through a single program amortizes dispatch/transfer
     latency (essential when the chip sits behind a network tunnel) and gives
     XLA bigger, better-tiled convolutions; it is also the serving-shape for
     production video pipelines. The window axis inside the program can
     additionally be sharded over a mesh (parallel/mesh.py) for huge pyramids.
-    Returns a (B, 3*C_last + n_stages) packed result (see _pack_result).
     """
 
     def one(image):
@@ -714,7 +714,7 @@ def _cascade_infer_device_batch(images, coords_norm, boxes_float, stage_params,
         )
         return _pack_result(*out)
 
-    return jax.vmap(one)(images)  # (B, 3*C_last + n_stages)
+    return jax.vmap(one)(images)  # (B,) x _pack_result layout
 
 
 @functools.partial(
@@ -1056,17 +1056,6 @@ class CascadeDetector:
         warn-and-truncate behavior)."""
         from ..utils import log
 
-        if not cf.get("cascade_saturation_redispatch"):
-            if not self._saturation_warned:
-                log.log(
-                    "WARNING: a cascade stage saturated its survivor capacity; "
-                    "excess windows were dropped by confidence ranking "
-                    "(cascade_saturation_redispatch is off). Consider "
-                    "retraining the stage or raising cascade_capacity_schedule."
-                )
-                self._saturation_warned = True
-            return result
-
         def rerun(caps_, resample=None):
             common = make_common(tuple(caps_), resample)
             if yuv:
@@ -1086,6 +1075,31 @@ class CascadeDetector:
                 res.reextract_overflows
                 and any(o > 0 for o in res.reextract_overflows)
             )
+
+        if not cf.get("cascade_saturation_redispatch"):
+            # warn-and-truncate mode. Capacity truncation drops windows by
+            # confidence rank — a semantic the user opted into — but a
+            # dynamic-re-extract big-class overflow is NOT truncation: the
+            # overflowed windows' pixels are garbage. That case always gets
+            # one corrective re-run with the full-image resampler at the
+            # SAME capacities (identical truncation semantics, correct
+            # pixels) — never silent garbage.
+            if overflowed(result):
+                log.log(
+                    "WARNING: dynamic re-extraction big class overflowed "
+                    "(cascade_saturation_redispatch is off); re-running with "
+                    "the full-image resampler at unchanged capacities."
+                )
+                result = rerun(list(capacities), resample="pallas")
+            elif not self._saturation_warned:
+                log.log(
+                    "WARNING: a cascade stage saturated its survivor capacity; "
+                    "excess windows were dropped by confidence ranking "
+                    "(cascade_saturation_redispatch is off). Consider "
+                    "retraining the stage or raising cascade_capacity_schedule."
+                )
+                self._saturation_warned = True
+            return result
 
         caps = list(capacities)
         for _ in range(int(cf.get("cascade_saturation_max_retries"))):

@@ -193,7 +193,14 @@ def extract_rowbound(
     tile_m_per_win = jnp.repeat(tile_m, tile)
     small_ok = (m_sorted <= n_cells) & (m_sorted == tile_m_per_win)
     big2 = ~small_ok
-    n_big = jnp.sum(big2.astype(jnp.int32))
+    # tile-padding replicas sit at the TAIL of the sorted array (appended
+    # after argsort) — exclude them from the big count: they rank after
+    # every real big window in the stable big-first order, so they never
+    # displace a real window from the big class, and counting them would
+    # report a spurious overflow whenever N isn't a tile multiple and the
+    # last sorted window is big
+    slot_real = jnp.arange(n_pad) < n
+    n_big = jnp.sum((big2 & slot_real).astype(jnp.int32))
     overflow = jnp.maximum(n_big - big_cap, 0)
 
     # ---- small path: one pallas_call, per-tile lattice cell offsets ------

@@ -103,6 +103,40 @@ def test_overflow_counted_when_big_cap_too_small(scene640):
     assert int(ovf) == n - tile
 
 
+def test_padding_replicas_not_counted_as_big(scene640):
+    """N not a tile multiple with a BIG last sorted window: the tile-padding
+    replicas (appended after the sort, so they replicate that big window)
+    must not inflate n_big/overflow — all real windows fit, so no overflow,
+    and extraction still matches the reference path."""
+    rng = np.random.RandomState(6)
+    n = 65  # tile=16 -> n_pad=80: 15 replicas of the last sorted window
+    n_tall = 10
+    y0 = rng.uniform(0, 100, n).astype(np.float32)
+    hgt = np.concatenate(
+        [
+            rng.uniform(30, 60, n - n_tall),  # small class
+            rng.uniform(300, 400, n_tall),  # big class (sorted last)
+        ]
+    ).astype(np.float32)
+    x0 = rng.uniform(0, 200, n).astype(np.float32)
+    boxes = np.stack(
+        [x0, y0, np.minimum(x0 + hgt, 640), np.minimum(y0 + hgt, 480)], axis=1
+    )
+    # real big class: the 10 tall windows + tile-cell-fragmented small ones
+    # (measured 20 at this seed) — 32 holds all of them but NOT the 15 big
+    # padding replicas on top, so the pre-fix counting reports a spurious
+    # overflow here while the fixed counting reports none
+    big_cap = 32
+    got, n_big, ovf = windows_dyn.extract_rowbound(
+        scene640, jnp.asarray(boxes), 24, 24, big_cap=big_cap, interpret=True
+    )
+    assert int(n_big) <= n  # replicas excluded (tall ones may still demote)
+    assert int(n_big) >= n_tall
+    assert int(ovf) == 0
+    ref = windows.crop_and_resize(scene640, jnp.asarray(boxes), out_h=24, out_w=24)
+    _assert_quantized_parity(got, ref)
+
+
 def test_cascade_uses_dyn_and_redispatches_on_overflow(monkeypatch):
     """End-to-end: a big image under 'pallas2' + dyn_reextract='on' routes
     stage-1/2 re-extraction through the dynamic kernel; detections match the

@@ -94,7 +94,9 @@ def main():
     model = tf_mod.load_flagship()
     if model is None:
         raise SystemExit("no flagship artifact — run tools/train_flagship.py")
-    tf_mod.flagship_config.__globals__
+    from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+
+    tf_mod.flagship_config(cf)
     images = mine(model, n_scenes=n_scenes, threshold=threshold)
     path = os.path.join(tf_mod.ARTIFACT_DIR, "hard_negatives.npz")
     np.savez_compressed(

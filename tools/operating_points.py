@@ -38,7 +38,9 @@ def main():
     model = tf_mod.load_flagship()
     if model is None:
         raise SystemExit("no flagship artifact — run tools/train_flagship.py")
-    tf_mod.flagship_config.__globals__  # keep import explicit
+    from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+
+    tf_mod.flagship_config(cf)
 
     points = []
     for mn in MIN_NEIGHBORS:

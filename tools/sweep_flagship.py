@@ -175,9 +175,12 @@ def main():
         print(f"{name}: {json.dumps(summary)}", flush=True)
         results.append(stats)
         if best is None or rank_key(stats) < rank_key(best[1]):
-            best = (model, stats, dict(overrides))
-
-    model, stats, win_overrides = best
+            # record the FULL recipe (config overrides + corpus/epochs/seed)
+            # so tools/train_flagship.py can rebuild this exact winner
+            best = (model, stats, dict(
+                overrides, _n_pos=n_pos, _n_neg=n_neg, _epochs=epochs,
+                _seed=seed,
+            ))
 
     # merge this run's candidates into the recorded sweep (partial reruns
     # with a name filter must extend the record, not erase it)
@@ -190,6 +193,19 @@ def main():
         c for c in prior["candidates"]
         if c.get("candidate") not in {r.get("candidate") for r in results}
     ] + results
+
+    if best is None:
+        # every candidate failed, or the name filter matched nothing —
+        # still persist whatever was recorded before bailing
+        with open(sweep_path, "w") as f:
+            json.dump(
+                {"candidates": merged, "winner": prior.get("winner")}, f, indent=1
+            )
+        raise SystemExit(
+            "no candidate completed (filter={}); sweep record updated, "
+            "incumbent untouched".format(sorted(only) or "none")
+        )
+    model, stats, win_overrides = best
 
     # promote only if the run's best beats the incumbent flagship artifact —
     # compared at each side's best FEASIBLE operating point. The incumbent's

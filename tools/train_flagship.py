@@ -48,6 +48,31 @@ def flagship_config(cf):
     cf.set("dao_max_foreground_rotation_angle", 10.0)
 
 
+def apply_recorded_overrides(cf):
+    """Apply the promoted sweep winner's recorded recipe
+    (artifacts/flagship_overrides.json, written by tools/sweep_flagship.py
+    on promotion) so regenerating via this script rebuilds the SAME
+    architecture/recipe the recorded eval numbers describe — not the base
+    recipe. Returns a recipe dict: hard-negative replication count plus any
+    recorded corpus/epoch/seed parameters (underscore keys)."""
+    recipe = {"hard_negatives": 0}
+    path = os.path.join(ARTIFACT_DIR, "flagship_overrides.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            overrides = json.load(f)
+        for k, v in overrides.items():
+            if k == "_hard_negatives":
+                recipe["hard_negatives"] = int(v)
+            elif k in ("_n_pos", "_n_neg", "_seed"):
+                recipe[k[1:]] = int(v)
+            elif k == "_epochs":
+                cf.set("epochs_total", int(v))
+            elif not k.startswith("_"):
+                cf.set(k, v)
+        print(f"applied recorded flagship overrides: {overrides}")
+    return recipe
+
+
 def train_flagship(n_pos=3000, n_neg=24000, seed=0):
     """Round-2 measured recipe sweep (synthetic corpus, 20 eval scenes):
 
@@ -65,12 +90,33 @@ def train_flagship(n_pos=3000, n_neg=24000, seed=0):
     from rapidobjectdetectionusingcascadedcnns_tpu.train import checkpoint
 
     flagship_config(cf)
+    recipe = apply_recorded_overrides(cf)
+    n_pos = recipe.get("n_pos", n_pos)
+    n_neg = recipe.get("n_neg", n_neg)
+    seed = recipe.get("seed", seed)
+    hn_rep = recipe["hard_negatives"]
+    hard = None
+    if hn_rep:
+        hn_path = os.path.join(ARTIFACT_DIR, "hard_negatives.npz")
+        if os.path.exists(hn_path):
+            with np.load(hn_path) as z:
+                hard = np.repeat(z["images"], hn_rep, axis=0)
+            print(f"{len(hard)} hard-negative samples (x{hn_rep} replication)")
+        else:
+            print("WARNING: recorded recipe wants hard negatives but "
+                  "artifacts/hard_negatives.npz is absent "
+                  "(tools/mine_hard_negatives.py) — training without them")
+    from rapidobjectdetectionusingcascadedcnns_tpu.models.cnn import (
+        stage_input_sizes,
+    )
+
+    sizes = stage_input_sizes(cf.get("cascade_n_nets"), cf.get("img_width"), True)
     # "mixed" corpus: procedural patches + patches sampled from full scenes
     # via the offline-sampling flow — the scene-sampled negatives are what
     # teach stage 0 to reject actual pyramid windows (measured: stage-0
     # survivor rate 35% -> ~5% vs the patches-only corpus)
     provider = ct.SyntheticProvider(
-        n_pos, n_neg, [12, 24, 48], seed=seed, source="mixed"
+        n_pos, n_neg, sizes, seed=seed, source="mixed", hard_negatives=hard
     )
     trainer = ct.CascadeTrainer(provider, seed=seed)
     t0 = time.time()
