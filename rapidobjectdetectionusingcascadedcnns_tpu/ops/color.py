@@ -39,14 +39,30 @@ def rgb_to_yuv420(rgb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     )
 
 
+def _up2(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 2x bilinear upsample along ``axis`` (half-pixel convention,
+    replicate edges) — identical sampling positions to
+    ``jax.image.resize(..., method="bilinear", antialias=False)`` at scale 2.
+
+    Output pixel 2k samples input k-0.25 (taps 0.25*x[k-1] + 0.75*x[k]) and
+    pixel 2k+1 samples k+0.25 (taps 0.75*x[k] + 0.25*x[k+1]). Written as
+    static slices + lerps because the general resize lowers to a gather under
+    vmap, which measured ~0.4 ms/frame at VGA on v5e — ~40x its HBM bound —
+    while this formulation is pure VPU elementwise work."""
+    x = jnp.moveaxis(x, axis, 0)
+    xm = jnp.concatenate([x[:1], x[:-1]], axis=0)  # x[max(k-1, 0)]
+    xp = jnp.concatenate([x[1:], x[-1:]], axis=0)  # x[min(k+1, n-1)]
+    even = 0.25 * xm + 0.75 * x
+    odd = 0.75 * x + 0.25 * xp
+    out = jnp.stack([even, odd], axis=1).reshape((2 * x.shape[0],) + x.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
 def yuv420_to_rgb(y: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Device decoder: Y (H, W) + UV (H/2, W/2, 2) uint8 -> (H, W, 3) float32
     RGB in [0, 255]. Traceable; chroma upsampled bilinearly."""
-    h, w = y.shape[0], y.shape[1]
     yf = y.astype(jnp.float32)
-    uvf = jax.image.resize(
-        uv.astype(jnp.float32), (h, w, 2), method="bilinear", antialias=False
-    )
+    uvf = _up2(_up2(uv.astype(jnp.float32), 0), 1)
     u = uvf[..., 0] - 128.0
     v = uvf[..., 1] - 128.0
     r = yf + 1.402 * v

@@ -29,6 +29,23 @@ def test_yuv_roundtrip_exact_on_flat_colors():
     assert np.abs(back - rgb.astype(np.float32)).max() < 2.0
 
 
+def test_up2_matches_jax_image_resize():
+    # the manual static-slice lerp upsample must reproduce
+    # jax.image.resize(method="bilinear", antialias=False) exactly at 2x
+    import jax
+
+    rng = np.random.default_rng(7)
+    for h, w in ((6, 10), (32, 17), (45, 45)):
+        uv = rng.integers(0, 256, size=(h, w, 2)).astype(np.float32)
+        ref = np.asarray(
+            jax.image.resize(
+                jnp.asarray(uv), (2 * h, 2 * w, 2), method="bilinear", antialias=False
+            )
+        )
+        alt = np.asarray(color._up2(color._up2(jnp.asarray(uv), 0), 1))
+        assert np.array_equal(ref, alt), (h, w, np.abs(ref - alt).max())
+
+
 def test_detect_batch_yuv420_matches_rgb():
     cf.set("conv_filter_sizes", [8])
     cf.set("fc1_size", 32)
