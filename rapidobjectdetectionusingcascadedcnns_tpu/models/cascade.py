@@ -987,48 +987,22 @@ class CascadeDetector:
     def _unpack_row(
         self, row, capacities, plan, table, nms_on_device, img_h
     ) -> DetectionResult:
-        """Decode one image's packed result vector (see _pack_result)."""
-        n_stages = self.model.n_nets
-        cap_last = capacities[-1] if capacities else plan.n_windows
-        window_ids = row[:cap_last].astype(np.int64)
-        conf = row[cap_last : 2 * cap_last]
-        alive = row[2 * cap_last : 3 * cap_last] > 0.5
-        base = 3 * cap_last
-        survivors = [int(s) for s in row[base : base + n_stages]]
-        overflows = [
-            int(s) for s in row[base + n_stages : base + 2 * n_stages - 1]
-        ]
-        keep_ids = window_ids[alive]
-        raw_boxes = table["coords_norm"][keep_ids]
-        raw_conf = conf[alive]
-        if nms_on_device:
-            tail = row[base + 2 * n_stages - 1 :]
-            cl_xywh = tail[: 4 * cap_last].reshape(cap_last, 4)
-            cl_w = tail[4 * cap_last : 5 * cap_last]
-            cl_keep = tail[5 * cap_last : 6 * cap_last] > 0.5
-            boxes = np.stack(
-                [
-                    cl_xywh[cl_keep, 0],
-                    cl_xywh[cl_keep, 1],
-                    cl_xywh[cl_keep, 0] + cl_xywh[cl_keep, 2],
-                    cl_xywh[cl_keep, 1] + cl_xywh[cl_keep, 3],
-                ],
-                axis=1,
-            ).astype(np.float64)
-            confidences = cl_w[cl_keep].astype(np.float64)
-            if cf.get("vertically_enlarge_bboxes") and len(boxes):
-                boxes = rect_ops.vertically_enlarge(boxes, enlarge_top=0.2)
-        else:
-            boxes, confidences = self._postprocess(raw_boxes, raw_conf, img_h)
-        return DetectionResult(
-            boxes=boxes,
-            confidences=confidences,
-            raw_boxes=raw_boxes,
-            raw_confidences=raw_conf,
-            n_windows=plan.n_windows,
-            n_survivors_per_stage=survivors,
-            raw_window_ids=keep_ids,
-            reextract_overflows=overflows,
+        """Decode one image's packed result vector (see _pack_result).
+        Delegates to the config-free decoder shared with the AOT serving
+        path (serve.unpack_packed_row) so the two cannot drift."""
+        from ..serve import unpack_packed_row
+
+        return unpack_packed_row(
+            row,
+            capacities,
+            self.model.n_nets,
+            plan,
+            table,
+            nms_on_device,
+            img_h,
+            nms_mode=str(cf.get("nms")),
+            nms_min_neighbors=int(cf.get("nms_opencv_min_neighbors")),
+            vertically_enlarge=bool(cf.get("vertically_enlarge_bboxes")),
         )
 
     @staticmethod

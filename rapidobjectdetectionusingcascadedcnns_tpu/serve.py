@@ -1,0 +1,410 @@
+"""AOT serving bundles: the compiled cascade program as a deployable artifact.
+
+The reference ships ``InferenceOptimizer`` (network/inference_optimizer.py:
+1-96): it freezes the trained TF graph — weights baked as constants, training
+subgraphs pruned — so serving loads a single optimized artifact instead of
+rebuilding the training graph. The TPU-native analog is :mod:`jax.export`:
+the jitted cascade program (weights and pyramid geometry baked as constants,
+including the device-side NMS tail) is serialized to a version-stable
+StableHLO artifact. A serving host loads the bundle and detects WITHOUT the
+model object, the config, or any Python tracing — deserialization +
+compilation of the shipped program is all that happens at startup.
+
+A bundle holds a *capacity ladder*: the same program exported at the base
+survivor capacities and at each escalation rung the live detector would
+re-dispatch to on saturation (models/cascade.escalate_capacities). The
+serving loop walks the ladder exactly like ``CascadeDetector`` walks its
+doubling loop, so reference-unbounded survivor semantics
+(app/inference_cascade_app.py:217-240) hold as long as the ladder is deep
+enough; a top-rung saturation falls back to warn-and-truncate, and the
+bundle records how many rungs it carries.
+
+Layout on disk (``save_bundle``)::
+
+    <dir>/meta.json        everything unpack/serve needs, config-free
+    <dir>/program_0.bin    jax.export blob at base capacities
+    <dir>/program_1.bin    ... first escalation rung, etc.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from . import config as cf
+from .models import cascade as casc
+from .models.cascade import CascadeModel, DetectionResult
+from .ops import nms as nms_ops
+from .ops import rectangles as rect_ops
+from .ops.pyramid import build_plan, window_table
+from .utils import log
+
+FORMAT_VERSION = 1
+
+
+def unpack_packed_row(
+    row: np.ndarray,
+    capacities: Sequence[int],
+    n_stages: int,
+    plan,
+    table,
+    nms_on_device: bool,
+    img_h: int,
+    *,
+    nms_mode: str,
+    nms_min_neighbors: int,
+    vertically_enlarge: bool,
+) -> DetectionResult:
+    """Decode one image's packed result vector (models/cascade._pack_result
+    layout) into a :class:`DetectionResult` — config-free: every knob the
+    decode depends on is an explicit argument, so the live detector and the
+    AOT serving path share one decoder and cannot drift."""
+    cap_last = capacities[-1] if capacities else plan.n_windows
+    window_ids = row[:cap_last].astype(np.int64)
+    conf = row[cap_last : 2 * cap_last]
+    alive = row[2 * cap_last : 3 * cap_last] > 0.5
+    base = 3 * cap_last
+    survivors = [int(s) for s in row[base : base + n_stages]]
+    overflows = [int(s) for s in row[base + n_stages : base + 2 * n_stages - 1]]
+    keep_ids = window_ids[alive]
+    raw_boxes = table["coords_norm"][keep_ids]
+    raw_conf = conf[alive]
+    if nms_on_device:
+        tail = row[base + 2 * n_stages - 1 :]
+        cl_xywh = tail[: 4 * cap_last].reshape(cap_last, 4)
+        cl_w = tail[4 * cap_last : 5 * cap_last]
+        cl_keep = tail[5 * cap_last : 6 * cap_last] > 0.5
+        boxes = np.stack(
+            [
+                cl_xywh[cl_keep, 0],
+                cl_xywh[cl_keep, 1],
+                cl_xywh[cl_keep, 0] + cl_xywh[cl_keep, 2],
+                cl_xywh[cl_keep, 1] + cl_xywh[cl_keep, 3],
+            ],
+            axis=1,
+        ).astype(np.float64)
+        confidences = cl_w[cl_keep].astype(np.float64)
+        if vertically_enlarge and len(boxes):
+            boxes = rect_ops.vertically_enlarge(boxes, enlarge_top=0.2)
+    else:
+        # host-side NMS + optional vertical enlargement
+        # (app/inference_app.py:219-231)
+        if len(raw_boxes) == 0:
+            boxes = np.zeros((0, 4), np.float64)
+            confidences = np.zeros((0,), np.float64)
+        else:
+            if nms_mode == cf.NMS_OPENCV:
+                out_boxes, weights = nms_ops.nms_boxes(raw_boxes, nms_min_neighbors)
+                boxes = out_boxes.astype(np.float64)
+                confidences = weights.astype(np.float64)
+            else:
+                boxes = raw_boxes.astype(np.float64)
+                confidences = raw_conf.astype(np.float64)
+            if vertically_enlarge and len(boxes):
+                boxes = rect_ops.vertically_enlarge(boxes, enlarge_top=0.2)
+    return DetectionResult(
+        boxes=boxes,
+        confidences=confidences,
+        raw_boxes=raw_boxes,
+        raw_confidences=raw_conf,
+        n_windows=plan.n_windows,
+        n_survivors_per_stage=survivors,
+        raw_window_ids=keep_ids,
+        reextract_overflows=overflows,
+    )
+
+
+@dataclass
+class ServingBundle:
+    """An exported cascade: config-free metadata + one program per capacity
+    rung (all share the baked weights; they differ only in survivor-buffer
+    capacities)."""
+
+    meta: dict
+    programs: List[jax_export.Exported]
+
+
+def export_detector(
+    model: CascadeModel,
+    img_h: int,
+    img_w: int,
+    *,
+    batch: Optional[int] = None,
+    yuv: bool = False,
+    capacities: Optional[Sequence[int]] = None,
+    n_rungs: int = 3,
+    resample_impl: Optional[str] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> ServingBundle:
+    """Export the full cascade program for (img_h, img_w) frames.
+
+    Every config knob the program depends on is resolved HERE, at export
+    time, and recorded in the bundle metadata — the serving host never reads
+    config. ``n_rungs``: how many saturation-escalation capacity rungs to
+    ship (rung 0 = base capacities; each next rung is one
+    ``escalate_capacities`` doubling, exactly the live detector's re-dispatch
+    sequence). ``platforms``: e.g. ("tpu", "cpu") for a cross-platform
+    artifact; None exports for the current default backend. ``resample_impl``
+    defaults to the pure-XLA resampler, which lowers on every platform
+    (the Pallas kernels are TPU-only)."""
+    if model.n_nets < 2:
+        raise ValueError("a cascade must consist of at least two nets")
+    size0 = model.input_sizes[0]
+    mwl = float(cf.get("min_window_length"))
+    wsf = float(cf.get("window_scale_factor"))
+    plan = build_plan(img_h, img_w, size0, size0, mwl, wsf)
+    if plan.n_windows < 1:
+        raise ValueError("Could not extract any windows at this image size")
+    table = window_table(plan)
+    coords_norm = jnp.asarray(table["coords_norm"], dtype=jnp.int32)
+    boxes_float = jnp.asarray(table["boxes_float"], dtype=jnp.float32)
+    n_stages = model.n_nets
+    base_caps = tuple(
+        capacities
+        or cf.get("cascade_capacity_schedule")
+        or casc.default_capacity_schedule(plan.n_windows, n_stages)
+    )
+    thresholds = tuple(casc.resolve_thresholds(n_stages))
+    mode = str(cf.get("final_confidence_calculation"))
+    extraction_mode = casc.resolve_extraction_mode(plan)
+    high_precision = bool(cf.get("inference_high_precision"))
+    chunk = int(cf.get("inference_chunk_size"))
+    nms_mode = str(cf.get("nms"))
+    nms_on_device = bool(cf.get("nms_on_device")) and nms_mode == cf.NMS_OPENCV
+    nms_min_neighbors = int(cf.get("nms_opencv_min_neighbors"))
+    nms_mn = nms_min_neighbors if nms_on_device else -1
+    compaction = casc.resolve_compaction()
+    impl = resample_impl or "xla"
+    if impl == "pallas2dyn":
+        raise ValueError(
+            "the dynamic row-bounded kernel needs host-side overflow "
+            "re-dispatch policy; export with 'xla', 'pallas' or 'pallas2'"
+        )
+    batch = int(batch or cf.get("inference_batch_frames"))
+
+    params_device = tuple(
+        jax.tree_util.tree_map(jnp.asarray, p) for p in model.stage_params
+    )
+    stats_device = tuple(
+        (jnp.asarray(m), jnp.asarray(s))
+        for m, s in zip(model.stage_means, model.stage_stds)
+    )
+    stage_configs = tuple(model.stage_configs)
+
+    # capacity ladder: base + n_rungs-1 escalations (the detector's exact
+    # saturation re-dispatch sequence)
+    rungs = [list(base_caps)]
+    while len(rungs) < max(1, n_rungs):
+        nxt = casc.escalate_capacities(rungs[-1], plan.n_windows)
+        if nxt is None:
+            break
+        rungs.append(nxt)
+
+    def make_fn(caps: Tuple[int, ...]):
+        common = (
+            coords_norm,
+            boxes_float,
+            params_device,
+            stats_device,
+            plan,
+            stage_configs,
+            caps,
+            mode,
+            thresholds,
+            high_precision,
+            extraction_mode,
+            chunk,
+            nms_mn,
+            impl,
+            compaction,
+        )
+        if yuv:
+            return jax.jit(
+                lambda y, uv: casc._cascade_infer_device_batch_yuv(y, uv, *common)
+            )
+        return jax.jit(
+            lambda images: casc._cascade_infer_device_batch(images, *common)
+        )
+
+    if yuv:
+        specs = (
+            jax.ShapeDtypeStruct((batch, img_h, img_w), jnp.uint8),
+            jax.ShapeDtypeStruct((batch, img_h // 2, img_w // 2, 2), jnp.uint8),
+        )
+    else:
+        specs = (jax.ShapeDtypeStruct((batch, img_h, img_w, 3), jnp.uint8),)
+
+    kwargs = {"platforms": tuple(platforms)} if platforms else {}
+    programs = [
+        jax_export.export(make_fn(tuple(caps)), **kwargs)(*specs) for caps in rungs
+    ]
+
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "img_h": img_h,
+        "img_w": img_w,
+        "batch": batch,
+        "yuv": yuv,
+        "n_stages": n_stages,
+        "size0": size0,
+        "min_window_length": mwl,
+        "window_scale_factor": wsf,
+        "capacity_rungs": [list(map(int, caps)) for caps in rungs],
+        "thresholds": [float(t) for t in thresholds],
+        "confidence_mode": mode,
+        "extraction_mode": extraction_mode,
+        "resample_impl": impl,
+        "chunk": chunk,
+        "high_precision": high_precision,
+        "compaction": compaction,
+        "nms_mode": nms_mode,
+        "nms_on_device": nms_on_device,
+        "nms_min_neighbors": nms_min_neighbors,
+        "vertically_enlarge": bool(cf.get("vertically_enlarge_bboxes")),
+        "platforms": list(programs[0].platforms),
+    }
+    return ServingBundle(meta=meta, programs=programs)
+
+
+def save_bundle(bundle: ServingBundle, dir_path: str) -> None:
+    """Write ``meta.json`` + one ``program_<rung>.bin`` per capacity rung."""
+    os.makedirs(dir_path, exist_ok=True)
+    with open(os.path.join(dir_path, "meta.json"), "w") as f:
+        json.dump(bundle.meta, f, indent=1)
+    for i, prog in enumerate(bundle.programs):
+        with open(os.path.join(dir_path, f"program_{i}.bin"), "wb") as f:
+            f.write(prog.serialize())
+
+
+def load_bundle(dir_path: str) -> "ServingDetector":
+    """Load a saved bundle into a ready :class:`ServingDetector` (no model,
+    no config — the artifact is self-contained)."""
+    with open(os.path.join(dir_path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != FORMAT_VERSION:
+        raise ValueError(
+            "unsupported bundle format {} (this build reads {})".format(
+                meta.get("format_version"), FORMAT_VERSION
+            )
+        )
+    programs = []
+    for i in range(len(meta["capacity_rungs"])):
+        with open(os.path.join(dir_path, f"program_{i}.bin"), "rb") as f:
+            programs.append(jax_export.deserialize(f.read()))
+    return ServingDetector(ServingBundle(meta=meta, programs=programs))
+
+
+class ServingDetector:
+    """Serve detections from an exported bundle.
+
+    Mirrors ``CascadeDetector.detect_batch`` semantics for fixed-size frames:
+    frames are chunked to the exported batch size (short chunks padded by
+    repeating the last frame), saturated images walk the bundle's capacity
+    ladder exactly like the live detector's re-dispatch loop, and a top-rung
+    saturation warns and truncates (the artifact can't grow new programs)."""
+
+    def __init__(self, bundle: ServingBundle):
+        self.meta = bundle.meta
+        self.programs = bundle.programs
+        m = self.meta
+        self._plan = build_plan(
+            m["img_h"],
+            m["img_w"],
+            m["size0"],
+            m["size0"],
+            m["min_window_length"],
+            m["window_scale_factor"],
+        )
+        self._table = window_table(self._plan)
+        self._warned = False
+
+    # -- helpers ---------------------------------------------------------
+    def _frame_shape_ok(self, frame) -> bool:
+        m = self.meta
+        if m["yuv"]:
+            y, uv = frame
+            return y.shape == (m["img_h"], m["img_w"]) and uv.shape == (
+                m["img_h"] // 2,
+                m["img_w"] // 2,
+                2,
+            )
+        return frame.shape == (m["img_h"], m["img_w"], 3)
+
+    def _call_rung(self, rung: int, frames: List) -> np.ndarray:
+        """Run one exported program over exactly `batch` frames."""
+        m = self.meta
+        if m["yuv"]:
+            y = jnp.asarray(np.stack([f[0] for f in frames]))
+            uv = jnp.asarray(np.stack([f[1] for f in frames]))
+            return np.asarray(self.programs[rung].call(y, uv))
+        stack = jnp.asarray(np.stack(frames))
+        return np.asarray(self.programs[rung].call(stack))
+
+    def _unpack(self, row: np.ndarray, rung: int) -> DetectionResult:
+        m = self.meta
+        return unpack_packed_row(
+            row,
+            m["capacity_rungs"][rung],
+            m["n_stages"],
+            self._plan,
+            self._table,
+            m["nms_on_device"],
+            m["img_h"],
+            nms_mode=m["nms_mode"],
+            nms_min_neighbors=m["nms_min_neighbors"],
+            vertically_enlarge=m["vertically_enlarge"],
+        )
+
+    def _saturated(self, result: DetectionResult, rung: int) -> bool:
+        return casc.CascadeDetector._is_saturated(
+            result.n_survivors_per_stage,
+            self.meta["capacity_rungs"][rung],
+            result.reextract_overflows,
+        )
+
+    # -- public ----------------------------------------------------------
+    def detect(self, frame) -> DetectionResult:
+        return self.detect_batch([frame])[0]
+
+    def detect_batch(self, frames: Sequence) -> List[DetectionResult]:
+        m = self.meta
+        for f in frames:
+            if not self._frame_shape_ok(f):
+                raise ValueError(
+                    "frame shape does not match the exported program "
+                    "({}x{}, yuv={})".format(m["img_h"], m["img_w"], m["yuv"])
+                )
+        batch = m["batch"]
+        results: List[Optional[DetectionResult]] = [None] * len(frames)
+        for s in range(0, len(frames), batch):
+            chunk_idx = list(range(s, min(s + batch, len(frames))))
+            chunk = [frames[i] for i in chunk_idx]
+            pad = batch - len(chunk)
+            packed = self._call_rung(0, chunk + [chunk[-1]] * pad)
+            for j, i in enumerate(chunk_idx):
+                result = self._unpack(packed[j], 0)
+                rung = 0
+                while self._saturated(result, rung) and rung + 1 < len(
+                    self.programs
+                ):
+                    rung += 1
+                    re_packed = self._call_rung(
+                        rung, [frames[i]] * batch
+                    )
+                    result = self._unpack(re_packed[0], rung)
+                if self._saturated(result, rung) and not self._warned:
+                    log.log(
+                        "WARNING: cascade stage saturated the bundle's top "
+                        "capacity rung; excess windows were dropped. Export "
+                        "with more rungs (n_rungs) or larger capacities."
+                    )
+                    self._warned = True
+                results[i] = result
+        return results  # type: ignore[return-value]

@@ -1,0 +1,122 @@
+"""AOT serving bundles: exported programs == live detector, config-free.
+
+The bundle is the TPU-native analog of the reference's frozen-graph export
+(network/inference_optimizer.py:1-96): weights baked into a serialized
+StableHLO artifact served without the model object or config.
+"""
+
+import numpy as np
+
+from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+from rapidobjectdetectionusingcascadedcnns_tpu import serve
+from rapidobjectdetectionusingcascadedcnns_tpu.data import synthetic
+from rapidobjectdetectionusingcascadedcnns_tpu.models import cascade
+from rapidobjectdetectionusingcascadedcnns_tpu.ops import color
+
+
+def _tiny_config():
+    cf.set("conv_filter_sizes", [8])
+    cf.set("fc1_size", 32)
+    cf.set("compute_dtype", "float32")
+    cf.set("nms", cf.NMS_OPENCV)
+    cf.set("nms_opencv_min_neighbors", 1)
+    cf.set("nms_on_device", True)
+    cf.set("inference_batch_frames", 2)
+
+
+def _assert_same_results(a, b):
+    np.testing.assert_array_equal(a.raw_window_ids, b.raw_window_ids)
+    np.testing.assert_array_equal(a.raw_boxes, b.raw_boxes)
+    np.testing.assert_allclose(a.raw_confidences, b.raw_confidences, atol=1e-6)
+    np.testing.assert_allclose(a.boxes, b.boxes, atol=1e-6)
+    np.testing.assert_allclose(a.confidences, b.confidences, atol=1e-6)
+    assert a.n_survivors_per_stage == b.n_survivors_per_stage
+
+
+def test_bundle_roundtrip_matches_live_detector(tmp_path):
+    _tiny_config()
+    model = cascade.build_cascade_model(seed=0)
+    frames = [
+        synthetic.make_scene(100, 120, n_faces=1, seed=s, min_face=40, max_face=60).image
+        for s in range(3)
+    ]
+
+    # untrained nets keep ~half the windows: pin generous capacities on both
+    # sides so neither saturates (saturation parity has its own test below)
+    caps = [1024, 512]
+    det = cascade.CascadeDetector(model, capacity_schedule=caps)
+    live = det.detect_batch(frames)
+
+    bundle = serve.export_detector(model, 100, 120, batch=2, capacities=caps, n_rungs=1)
+    serve.save_bundle(bundle, str(tmp_path / "bundle"))
+    served_det = serve.load_bundle(str(tmp_path / "bundle"))
+
+    # the serving host must not depend on config: poison every knob the
+    # program/unpack could possibly read before detecting
+    cf.set("foreground_confidence_threshold", 0.99)
+    cf.set("nms_opencv_min_neighbors", 5)
+    cf.set("vertically_enlarge_bboxes", True)
+    cf.set("nms_on_device", False)
+
+    served = served_det.detect_batch(frames)
+    for a, b in zip(live, served):
+        _assert_same_results(a, b)
+
+
+def test_bundle_yuv_matches_live_detector(tmp_path):
+    _tiny_config()
+    model = cascade.build_cascade_model(seed=1)
+    rgb = synthetic.make_scene(64, 64, n_faces=1, seed=7, min_face=40, max_face=50).image
+    frame = color.rgb_to_yuv420(rgb)
+
+    caps = [1024, 512]
+    det = cascade.CascadeDetector(model, capacity_schedule=caps)
+    live = det.detect_batch_yuv420([frame])[0]
+
+    bundle = serve.export_detector(
+        model, 64, 64, batch=1, yuv=True, capacities=caps, n_rungs=1
+    )
+    serve.save_bundle(bundle, str(tmp_path / "bundle"))
+    served = serve.load_bundle(str(tmp_path / "bundle")).detect(frame)
+    _assert_same_results(live, served)
+
+
+def test_bundle_capacity_ladder_matches_redispatch(tmp_path):
+    # an untrained cascade keeps far more than 8 survivors: the live detector
+    # re-dispatches with doubled capacities, the bundle walks its rungs — the
+    # two must land on identical detections
+    _tiny_config()
+    model = cascade.build_cascade_model(seed=0)
+    frame = synthetic.make_scene(
+        100, 120, n_faces=1, seed=3, min_face=40, max_face=60
+    ).image
+
+    det = cascade.CascadeDetector(model, capacity_schedule=[8, 8])
+    live = det.detect(frame)
+
+    bundle = serve.export_detector(
+        model, 100, 120, batch=1, capacities=[8, 8], n_rungs=4
+    )
+    assert len(bundle.meta["capacity_rungs"]) > 1  # the ladder really exists
+    serve.save_bundle(bundle, str(tmp_path / "bundle"))
+    served = serve.load_bundle(str(tmp_path / "bundle")).detect(frame)
+    _assert_same_results(live, served)
+    # the final result must not be saturated (the ladder absorbed it)
+    caps_top = bundle.meta["capacity_rungs"][-1]
+    assert not any(
+        s > c for s, c in zip(served.n_survivors_per_stage, caps_top)
+    )
+
+
+def test_bundle_rejects_wrong_shape(tmp_path):
+    _tiny_config()
+    model = cascade.build_cascade_model(seed=0)
+    bundle = serve.export_detector(model, 64, 64, batch=1, n_rungs=1)
+    serve.save_bundle(bundle, str(tmp_path / "bundle"))
+    served_det = serve.load_bundle(str(tmp_path / "bundle"))
+    bad = np.zeros((80, 64, 3), np.uint8)
+    try:
+        served_det.detect(bad)
+        assert False, "expected a shape error"
+    except ValueError as e:
+        assert "exported program" in str(e)
