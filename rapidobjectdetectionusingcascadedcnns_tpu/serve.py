@@ -19,9 +19,16 @@ doubling loop, so reference-unbounded survivor semantics
 enough; a top-rung saturation falls back to warn-and-truncate, and the
 bundle records how many rungs it carries.
 
+The weights ride in the bundle ONCE (``weights.npz``, pre-cast to the
+compute dtype exactly like the live chunked path's loop-invariant precast,
+models/cascade._precast_params) and enter every rung program as arguments —
+baking them as per-program constants would triple the flagship's ~200 MB of
+fc1 masters across a 3-rung ladder.
+
 Layout on disk (``save_bundle``)::
 
     <dir>/meta.json        everything unpack/serve needs, config-free
+    <dir>/weights.npz      flat weight arrays, shared by all rungs
     <dir>/program_0.bin    jax.export blob at base capacities
     <dir>/program_1.bin    ... first escalation rung, etc.
 """
@@ -123,11 +130,12 @@ def unpack_packed_row(
 
 @dataclass
 class ServingBundle:
-    """An exported cascade: config-free metadata + one program per capacity
-    rung (all share the baked weights; they differ only in survivor-buffer
-    capacities)."""
+    """An exported cascade: config-free metadata, the flat weight arrays
+    (shared), and one program per capacity rung (they differ only in
+    survivor-buffer capacities)."""
 
     meta: dict
+    weights: List[np.ndarray]
     programs: List[jax_export.Exported]
 
 
@@ -189,14 +197,22 @@ def export_detector(
         )
     batch = int(batch or cf.get("inference_batch_frames"))
 
+    stage_configs = tuple(model.stage_configs)
     params_device = tuple(
         jax.tree_util.tree_map(jnp.asarray, p) for p in model.stage_params
     )
+    if not high_precision:
+        # the same loop-invariant compute-dtype precast the live chunked path
+        # applies (models/cascade._precast_params); bit-identical, halves the
+        # shipped weight bytes for bf16 models
+        params_device = tuple(
+            casc._precast_params(p, c) for p, c in zip(params_device, stage_configs)
+        )
     stats_device = tuple(
         (jnp.asarray(m), jnp.asarray(s))
         for m, s in zip(model.stage_means, model.stage_stds)
     )
-    stage_configs = tuple(model.stage_configs)
+    flat_params, params_treedef = jax.tree_util.tree_flatten(params_device)
 
     # capacity ladder: base + n_rungs-1 escalations (the detector's exact
     # saturation re-dispatch sequence)
@@ -208,43 +224,53 @@ def export_detector(
         rungs.append(nxt)
 
     def make_fn(caps: Tuple[int, ...]):
-        common = (
-            coords_norm,
-            boxes_float,
-            params_device,
-            stats_device,
-            plan,
-            stage_configs,
-            caps,
-            mode,
-            thresholds,
-            high_precision,
-            extraction_mode,
-            chunk,
-            nms_mn,
-            impl,
-            compaction,
-        )
-        if yuv:
-            return jax.jit(
-                lambda y, uv: casc._cascade_infer_device_batch_yuv(y, uv, *common)
+        def run(frame_args, flat):
+            params = jax.tree_util.tree_unflatten(params_treedef, flat)
+            common = (
+                coords_norm,
+                boxes_float,
+                params,
+                stats_device,
+                plan,
+                stage_configs,
+                caps,
+                mode,
+                thresholds,
+                high_precision,
+                extraction_mode,
+                chunk,
+                nms_mn,
+                impl,
+                compaction,
             )
-        return jax.jit(
-            lambda images: casc._cascade_infer_device_batch(images, *common)
-        )
+            if yuv:
+                y, uv = frame_args
+                return casc._cascade_infer_device_batch_yuv(y, uv, *common)
+            (images,) = frame_args
+            return casc._cascade_infer_device_batch(images, *common)
 
+        if yuv:
+            return jax.jit(lambda y, uv, flat: run((y, uv), flat))
+        return jax.jit(lambda images, flat: run((images,), flat))
+
+    weight_specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in flat_params]
     if yuv:
         specs = (
             jax.ShapeDtypeStruct((batch, img_h, img_w), jnp.uint8),
             jax.ShapeDtypeStruct((batch, img_h // 2, img_w // 2, 2), jnp.uint8),
+            weight_specs,
         )
     else:
-        specs = (jax.ShapeDtypeStruct((batch, img_h, img_w, 3), jnp.uint8),)
+        specs = (
+            jax.ShapeDtypeStruct((batch, img_h, img_w, 3), jnp.uint8),
+            weight_specs,
+        )
 
     kwargs = {"platforms": tuple(platforms)} if platforms else {}
     programs = [
         jax_export.export(make_fn(tuple(caps)), **kwargs)(*specs) for caps in rungs
     ]
+    weights = [np.asarray(a) for a in flat_params]
 
     meta = {
         "format_version": FORMAT_VERSION,
@@ -269,15 +295,22 @@ def export_detector(
         "nms_min_neighbors": nms_min_neighbors,
         "vertically_enlarge": bool(cf.get("vertically_enlarge_bboxes")),
         "platforms": list(programs[0].platforms),
+        "weight_dtypes": [str(w.dtype) for w in weights],
     }
-    return ServingBundle(meta=meta, programs=programs)
+    return ServingBundle(meta=meta, weights=weights, programs=programs)
 
 
 def save_bundle(bundle: ServingBundle, dir_path: str) -> None:
-    """Write ``meta.json`` + one ``program_<rung>.bin`` per capacity rung."""
+    """Write ``meta.json`` + ``weights.npz`` + one ``program_<rung>.bin`` per
+    capacity rung. bfloat16 arrays are stored as uint16 views (npz has no
+    bfloat16) and re-viewed on load per meta's ``weight_dtypes``."""
     os.makedirs(dir_path, exist_ok=True)
     with open(os.path.join(dir_path, "meta.json"), "w") as f:
         json.dump(bundle.meta, f, indent=1)
+    arrays = {}
+    for i, w in enumerate(bundle.weights):
+        arrays[f"w{i}"] = w.view(np.uint16) if w.dtype.name == "bfloat16" else w
+    np.savez(os.path.join(dir_path, "weights.npz"), **arrays)
     for i, prog in enumerate(bundle.programs):
         with open(os.path.join(dir_path, f"program_{i}.bin"), "wb") as f:
             f.write(prog.serialize())
@@ -286,6 +319,8 @@ def save_bundle(bundle: ServingBundle, dir_path: str) -> None:
 def load_bundle(dir_path: str) -> "ServingDetector":
     """Load a saved bundle into a ready :class:`ServingDetector` (no model,
     no config — the artifact is self-contained)."""
+    import ml_dtypes
+
     with open(os.path.join(dir_path, "meta.json")) as f:
         meta = json.load(f)
     if meta.get("format_version") != FORMAT_VERSION:
@@ -294,11 +329,18 @@ def load_bundle(dir_path: str) -> "ServingDetector":
                 meta.get("format_version"), FORMAT_VERSION
             )
         )
+    with np.load(os.path.join(dir_path, "weights.npz")) as z:
+        weights = []
+        for i, dt in enumerate(meta["weight_dtypes"]):
+            w = z[f"w{i}"]
+            if dt == "bfloat16":
+                w = w.view(ml_dtypes.bfloat16)
+            weights.append(w)
     programs = []
     for i in range(len(meta["capacity_rungs"])):
         with open(os.path.join(dir_path, f"program_{i}.bin"), "rb") as f:
             programs.append(jax_export.deserialize(f.read()))
-    return ServingDetector(ServingBundle(meta=meta, programs=programs))
+    return ServingDetector(ServingBundle(meta=meta, weights=weights, programs=programs))
 
 
 class ServingDetector:
@@ -313,6 +355,8 @@ class ServingDetector:
     def __init__(self, bundle: ServingBundle):
         self.meta = bundle.meta
         self.programs = bundle.programs
+        # device-resident once; every rung call reuses the same buffers
+        self._weights = [jnp.asarray(w) for w in bundle.weights]
         m = self.meta
         self._plan = build_plan(
             m["img_h"],
@@ -337,15 +381,16 @@ class ServingDetector:
             )
         return frame.shape == (m["img_h"], m["img_w"], 3)
 
-    def _call_rung(self, rung: int, frames: List) -> np.ndarray:
-        """Run one exported program over exactly `batch` frames."""
+    def _dispatch_rung(self, rung: int, frames: List):
+        """Dispatch one exported program over exactly `batch` frames; returns
+        the device result (asynchronous — np.asarray blocks on it)."""
         m = self.meta
         if m["yuv"]:
             y = jnp.asarray(np.stack([f[0] for f in frames]))
             uv = jnp.asarray(np.stack([f[1] for f in frames]))
-            return np.asarray(self.programs[rung].call(y, uv))
+            return self.programs[rung].call(y, uv, self._weights)
         stack = jnp.asarray(np.stack(frames))
-        return np.asarray(self.programs[rung].call(stack))
+        return self.programs[rung].call(stack, self._weights)
 
     def _unpack(self, row: np.ndarray, rung: int) -> DetectionResult:
         m = self.meta
@@ -373,7 +418,12 @@ class ServingDetector:
     def detect(self, frame) -> DetectionResult:
         return self.detect_batch([frame])[0]
 
-    def detect_batch(self, frames: Sequence) -> List[DetectionResult]:
+    def detect_batch(
+        self, frames: Sequence, pipeline_depth: int = 2
+    ) -> List[DetectionResult]:
+        """``pipeline_depth``: chunks kept in flight so the next chunk's
+        upload/compute overlaps the current fetch — the same bounded software
+        pipeline as the live detector's serving loop."""
         m = self.meta
         for f in frames:
             if not self._frame_shape_ok(f):
@@ -383,11 +433,10 @@ class ServingDetector:
                 )
         batch = m["batch"]
         results: List[Optional[DetectionResult]] = [None] * len(frames)
-        for s in range(0, len(frames), batch):
-            chunk_idx = list(range(s, min(s + batch, len(frames))))
-            chunk = [frames[i] for i in chunk_idx]
-            pad = batch - len(chunk)
-            packed = self._call_rung(0, chunk + [chunk[-1]] * pad)
+        pending: List[Tuple[List[int], object]] = []
+
+        def finish(chunk_idx, packed_dev):
+            packed = np.asarray(packed_dev)
             for j, i in enumerate(chunk_idx):
                 result = self._unpack(packed[j], 0)
                 rung = 0
@@ -395,8 +444,8 @@ class ServingDetector:
                     self.programs
                 ):
                     rung += 1
-                    re_packed = self._call_rung(
-                        rung, [frames[i]] * batch
+                    re_packed = np.asarray(
+                        self._dispatch_rung(rung, [frames[i]] * batch)
                     )
                     result = self._unpack(re_packed[0], rung)
                 if self._saturated(result, rung) and not self._warned:
@@ -407,4 +456,16 @@ class ServingDetector:
                     )
                     self._warned = True
                 results[i] = result
+
+        for s in range(0, len(frames), batch):
+            chunk_idx = list(range(s, min(s + batch, len(frames))))
+            chunk = [frames[i] for i in chunk_idx]
+            pad = batch - len(chunk)
+            pending.append(
+                (chunk_idx, self._dispatch_rung(0, chunk + [chunk[-1]] * pad))
+            )
+            if len(pending) > max(1, pipeline_depth):
+                finish(*pending.pop(0))
+        while pending:
+            finish(*pending.pop(0))
         return results  # type: ignore[return-value]
