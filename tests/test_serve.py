@@ -108,6 +108,46 @@ def test_bundle_capacity_ladder_matches_redispatch(tmp_path):
     )
 
 
+def test_run_export_serving_cli(tmp_path):
+    # checkpoint -> run_export_serving.py subprocess -> loadable bundle
+    import os
+    import subprocess
+    import sys
+
+    from rapidobjectdetectionusingcascadedcnns_tpu.train import checkpoint
+
+    _tiny_config()
+    model = cascade.build_cascade_model(seed=0)
+    checkpoint.save_cascade(str(tmp_path), "sess", model)
+    out_dir = tmp_path / "bundle"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    env["PYTHONPATH"] = os.pathsep.join([repo, env.get("PYTHONPATH", "")])
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "run_export_serving.py"),
+            str(tmp_path),
+            "sess",
+            str(out_dir),
+            "--height", "64", "--width", "64", "--batch", "1", "--rungs", "2",
+            "--platform", "cpu",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    served_det = serve.load_bundle(str(out_dir))
+    assert len(served_det.programs) == 2
+    frame = synthetic.make_scene(64, 64, n_faces=1, seed=2, min_face=30, max_face=40).image
+    res = served_det.detect(frame)
+    assert res.n_windows > 0
+    assert res.raw_boxes.shape[1] == 4
+
+
 def test_bundle_rejects_wrong_shape(tmp_path):
     _tiny_config()
     model = cascade.build_cascade_model(seed=0)
