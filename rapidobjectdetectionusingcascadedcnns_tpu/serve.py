@@ -161,7 +161,15 @@ def export_detector(
     sequence). ``platforms``: e.g. ("tpu", "cpu") for a cross-platform
     artifact; None exports for the current default backend. ``resample_impl``
     defaults to the pure-XLA resampler, which lowers on every platform
-    (the Pallas kernels are TPU-only)."""
+    (the Pallas kernels are TPU-only).
+
+    ``batch``: frames per program call (int), or ``"dynamic"`` to export a
+    *symbolic* batch dimension (jax.export shape polymorphism): one program
+    serves any frame count with no padding, and saturation re-runs dispatch
+    a single frame instead of a padded batch. Each distinct concrete batch
+    size still compiles its own executable on first use, so the serving
+    loop chunks to a fixed hint (``inference_batch_frames`` at export time)
+    to bound recompiles."""
     if model.n_nets < 2:
         raise ValueError("a cascade must consist of at least two nets")
     size0 = model.input_sizes[0]
@@ -195,7 +203,14 @@ def export_detector(
             "the dynamic row-bounded kernel needs host-side overflow "
             "re-dispatch policy; export with 'xla', 'pallas' or 'pallas2'"
         )
-    batch = int(batch or cf.get("inference_batch_frames"))
+    dynamic_batch = batch == "dynamic"
+    chunk_hint = int(cf.get("inference_batch_frames"))
+    if dynamic_batch:
+        (batch_dim,) = jax_export.symbolic_shape("b")
+    else:
+        batch = int(batch or chunk_hint)
+        chunk_hint = batch
+        batch_dim = batch
 
     stage_configs = tuple(model.stage_configs)
     params_device = tuple(
@@ -256,13 +271,13 @@ def export_detector(
     weight_specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in flat_params]
     if yuv:
         specs = (
-            jax.ShapeDtypeStruct((batch, img_h, img_w), jnp.uint8),
-            jax.ShapeDtypeStruct((batch, img_h // 2, img_w // 2, 2), jnp.uint8),
+            jax.ShapeDtypeStruct((batch_dim, img_h, img_w), jnp.uint8),
+            jax.ShapeDtypeStruct((batch_dim, img_h // 2, img_w // 2, 2), jnp.uint8),
             weight_specs,
         )
     else:
         specs = (
-            jax.ShapeDtypeStruct((batch, img_h, img_w, 3), jnp.uint8),
+            jax.ShapeDtypeStruct((batch_dim, img_h, img_w, 3), jnp.uint8),
             weight_specs,
         )
 
@@ -276,7 +291,8 @@ def export_detector(
         "format_version": FORMAT_VERSION,
         "img_h": img_h,
         "img_w": img_w,
-        "batch": batch,
+        "batch": "dynamic" if dynamic_batch else batch,
+        "chunk_hint": chunk_hint,
         "yuv": yuv,
         "n_stages": n_stages,
         "size0": size0,
@@ -431,7 +447,11 @@ class ServingDetector:
                     "frame shape does not match the exported program "
                     "({}x{}, yuv={})".format(m["img_h"], m["img_w"], m["yuv"])
                 )
-        batch = m["batch"]
+        dynamic = m["batch"] == "dynamic"
+        step = int(m.get("chunk_hint") or 16) if dynamic else m["batch"]
+        # saturation re-runs: a single frame under a dynamic batch, a padded
+        # batch otherwise (the static program admits exactly one shape)
+        rerun_n = 1 if dynamic else step
         results: List[Optional[DetectionResult]] = [None] * len(frames)
         pending: List[Tuple[List[int], object]] = []
 
@@ -445,7 +465,7 @@ class ServingDetector:
                 ):
                     rung += 1
                     re_packed = np.asarray(
-                        self._dispatch_rung(rung, [frames[i]] * batch)
+                        self._dispatch_rung(rung, [frames[i]] * rerun_n)
                     )
                     result = self._unpack(re_packed[0], rung)
                 if self._saturated(result, rung) and not self._warned:
@@ -457,10 +477,10 @@ class ServingDetector:
                     self._warned = True
                 results[i] = result
 
-        for s in range(0, len(frames), batch):
-            chunk_idx = list(range(s, min(s + batch, len(frames))))
+        for s in range(0, len(frames), step):
+            chunk_idx = list(range(s, min(s + step, len(frames))))
             chunk = [frames[i] for i in chunk_idx]
-            pad = batch - len(chunk)
+            pad = 0 if dynamic else step - len(chunk)
             pending.append(
                 (chunk_idx, self._dispatch_rung(0, chunk + [chunk[-1]] * pad))
             )

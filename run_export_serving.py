@@ -26,7 +26,11 @@ def main() -> None:
     p.add_argument("out_dir")
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--width", type=int, default=640)
-    p.add_argument("--batch", type=int, default=None)
+    p.add_argument(
+        "--batch",
+        default=None,
+        help="frames per program call (int), or 'dynamic' for a symbolic batch dim",
+    )
     p.add_argument("--yuv", action="store_true", help="export the YUV420 ingress program")
     p.add_argument("--rungs", type=int, default=3, help="capacity-escalation rungs to ship")
     p.add_argument(
@@ -42,11 +46,12 @@ def main() -> None:
 
         device.force_platform(args.platform)
     model = checkpoint.load_cascade(args.model_dir, args.session_key)
+    batch = args.batch if args.batch in (None, "dynamic") else int(args.batch)
     bundle = serve.export_detector(
         model,
         args.height,
         args.width,
-        batch=args.batch,
+        batch=batch,
         yuv=args.yuv,
         n_rungs=args.rungs,
     )

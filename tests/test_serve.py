@@ -108,6 +108,30 @@ def test_bundle_capacity_ladder_matches_redispatch(tmp_path):
     )
 
 
+def test_bundle_dynamic_batch(tmp_path):
+    # symbolic batch dim: one program, any frame count, no padding; the
+    # saturation ladder re-runs single frames. Must equal the live detector
+    # (which re-dispatches with doubled capacities) frame for frame.
+    _tiny_config()
+    model = cascade.build_cascade_model(seed=0)
+    frames = [
+        synthetic.make_scene(100, 120, n_faces=1, seed=s, min_face=40, max_face=60).image
+        for s in range(3)
+    ]
+    det = cascade.CascadeDetector(model, capacity_schedule=[8, 8])
+    live = det.detect_batch(frames)
+
+    bundle = serve.export_detector(
+        model, 100, 120, batch="dynamic", capacities=[8, 8], n_rungs=4
+    )
+    assert bundle.meta["batch"] == "dynamic"
+    assert bundle.meta["chunk_hint"] == 2  # inference_batch_frames above
+    serve.save_bundle(bundle, str(tmp_path / "bundle"))
+    served = serve.load_bundle(str(tmp_path / "bundle")).detect_batch(frames)
+    for a, b in zip(live, served):
+        _assert_same_results(a, b)
+
+
 def test_run_export_serving_cli(tmp_path):
     # checkpoint -> run_export_serving.py subprocess -> loadable bundle
     import os

@@ -94,6 +94,23 @@ def main():
             _ = served_det.detect_batch(frames)
             rates.append(n_scenes / (time.perf_counter() - t0))
 
+    # dynamic-batch variant: symbolic batch dim, single-rung, 5 frames
+    dyn_bundle = serve.export_detector(
+        model, 480, 640, batch="dynamic", yuv=True, capacities=caps, n_rungs=1,
+        resample_impl="xla",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        serve.save_bundle(dyn_bundle, d)
+        dyn_det = serve.load_bundle(d)
+        dyn = dyn_det.detect_batch(frames[:5])
+    dyn_mismatches = sum(
+        0
+        if np.array_equal(a.raw_window_ids, b.raw_window_ids)
+        and np.allclose(a.boxes, b.boxes, atol=1e-5)
+        else 1
+        for a, b in zip(live[:5], dyn)
+    )
+
     out = {
         "platform": jax.default_backend(),
         "n_scenes": n_scenes,
@@ -104,6 +121,7 @@ def main():
         "first_detect_s": round(first_call_s, 2),
         "detection_mismatches": mismatches,
         "streaming_fps_via_bundle": round(statistics.median(rates), 2),
+        "dynamic_batch_mismatches": dyn_mismatches,
     }
     art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
     os.makedirs(art, exist_ok=True)
@@ -111,6 +129,7 @@ def main():
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     assert mismatches == 0, "bundle detections diverged from the live detector"
+    assert dyn_mismatches == 0, "dynamic-batch bundle diverged from the live detector"
 
 
 if __name__ == "__main__":
