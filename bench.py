@@ -98,10 +98,7 @@ def main() -> None:
     # re-dispatch remains the correctness net if a frame exceeds them
     caps_source = "default"
     if quality and quality.get("survivors_max"):
-        caps = [
-            ((int(m * 1.5) + 127) // 128) * 128
-            for m in quality["survivors_max"][:-1]
-        ]
+        caps = train_flagship.capacity_schedule_from_quality(quality)
         cf.set("cascade_capacity_schedule", caps)
         caps_source = "measured_survivors_x1.5"
 

@@ -35,7 +35,6 @@ import numpy as np
 
 from .. import config as cf
 from ..ops import nms as nms_ops
-from ..ops import rectangles as rect_ops
 from ..ops.pyramid import PyramidPlan, build_plan, window_table
 from ..ops.windows import crop_and_resize_impl, extract_windows
 from . import cnn
@@ -999,7 +998,6 @@ class CascadeDetector:
             plan,
             table,
             nms_on_device,
-            img_h,
             nms_mode=str(cf.get("nms")),
             nms_min_neighbors=int(cf.get("nms_opencv_min_neighbors")),
             vertically_enlarge=bool(cf.get("vertically_enlarge_bboxes")),
@@ -1103,23 +1101,20 @@ class CascadeDetector:
             result = rerun(caps, resample="pallas")
         return result
 
-    def _postprocess(self, boxes: np.ndarray, conf: np.ndarray, img_h: int):
-        """NMS + optional vertical enlargement
-        (app/inference_app.py:219-231)."""
-        if len(boxes) == 0:
-            return np.zeros((0, 4), np.float64), np.zeros((0,), np.float64)
-        if cf.get("nms") == cf.NMS_OPENCV:
-            out_boxes, weights = nms_ops.nms_boxes(
-                boxes, cf.get("nms_opencv_min_neighbors")
-            )
-            out_boxes = out_boxes.astype(np.float64)
-            out_conf = weights.astype(np.float64)
-        else:
-            out_boxes = boxes.astype(np.float64)
-            out_conf = conf.astype(np.float64)
-        if cf.get("vertically_enlarge_bboxes") and len(out_boxes):
-            out_boxes = rect_ops.vertically_enlarge(out_boxes, enlarge_top=0.2)
-        return out_boxes, out_conf
+    def _postprocess(self, boxes: np.ndarray, conf: np.ndarray):
+        """NMS + optional vertical enlargement (app/inference_app.py:219-231).
+        Delegates to the config-free shared implementation
+        (serve.postprocess_raw) used by the serving decoder and the
+        window-sharded path."""
+        from ..serve import postprocess_raw
+
+        return postprocess_raw(
+            boxes,
+            conf,
+            nms_mode=str(cf.get("nms")),
+            nms_min_neighbors=int(cf.get("nms_opencv_min_neighbors")),
+            vertically_enlarge=bool(cf.get("vertically_enlarge_bboxes")),
+        )
 
 
 def build_cascade_model(

@@ -60,7 +60,15 @@ def _up2(x: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 def yuv420_to_rgb(y: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Device decoder: Y (H, W) + UV (H/2, W/2, 2) uint8 -> (H, W, 3) float32
-    RGB in [0, 255]. Traceable; chroma upsampled bilinearly."""
+    RGB in [0, 255]. Traceable; chroma upsampled bilinearly. H and W must be
+    even (4:2:0 chroma is only defined on even dims; the encoder above has
+    the same requirement)."""
+    h, w = y.shape[0], y.shape[1]
+    if (h, w) != (2 * uv.shape[0], 2 * uv.shape[1]):
+        raise ValueError(
+            "YUV420 frames need even dimensions with UV at exactly half the "
+            "Y plane; got Y {} / UV {}".format(y.shape, uv.shape)
+        )
     yf = y.astype(jnp.float32)
     uvf = _up2(_up2(uv.astype(jnp.float32), 0), 1)
     u = uvf[..., 0] - 128.0

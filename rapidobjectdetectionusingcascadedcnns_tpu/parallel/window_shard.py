@@ -331,7 +331,7 @@ def detect_window_sharded(detector, image, mesh: Mesh):
         keep_ids = window_ids[alive]
         raw_boxes = table["coords_norm"][keep_ids]
         raw_conf = conf[alive]
-        boxes, confidences = detector._postprocess(raw_boxes, raw_conf, img_h)
+        boxes, confidences = detector._postprocess(raw_boxes, raw_conf)
         return casc.DetectionResult(
             boxes=boxes,
             confidences=confidences,

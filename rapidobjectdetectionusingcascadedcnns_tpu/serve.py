@@ -56,6 +56,32 @@ from .utils import log
 FORMAT_VERSION = 1
 
 
+def postprocess_raw(
+    boxes: np.ndarray,
+    conf: np.ndarray,
+    *,
+    nms_mode: str,
+    nms_min_neighbors: int,
+    vertically_enlarge: bool,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side NMS + optional vertical enlargement
+    (app/inference_app.py:219-231) — the single config-free implementation
+    shared by the live detector (models/cascade._postprocess), the
+    window-sharded path, and the serving decoder below."""
+    if len(boxes) == 0:
+        return np.zeros((0, 4), np.float64), np.zeros((0,), np.float64)
+    if nms_mode == cf.NMS_OPENCV:
+        out_boxes, weights = nms_ops.nms_boxes(boxes, nms_min_neighbors)
+        out_boxes = out_boxes.astype(np.float64)
+        out_conf = weights.astype(np.float64)
+    else:
+        out_boxes = boxes.astype(np.float64)
+        out_conf = conf.astype(np.float64)
+    if vertically_enlarge and len(out_boxes):
+        out_boxes = rect_ops.vertically_enlarge(out_boxes, enlarge_top=0.2)
+    return out_boxes, out_conf
+
+
 def unpack_packed_row(
     row: np.ndarray,
     capacities: Sequence[int],
@@ -63,7 +89,6 @@ def unpack_packed_row(
     plan,
     table,
     nms_on_device: bool,
-    img_h: int,
     *,
     nms_mode: str,
     nms_min_neighbors: int,
@@ -101,21 +126,13 @@ def unpack_packed_row(
         if vertically_enlarge and len(boxes):
             boxes = rect_ops.vertically_enlarge(boxes, enlarge_top=0.2)
     else:
-        # host-side NMS + optional vertical enlargement
-        # (app/inference_app.py:219-231)
-        if len(raw_boxes) == 0:
-            boxes = np.zeros((0, 4), np.float64)
-            confidences = np.zeros((0,), np.float64)
-        else:
-            if nms_mode == cf.NMS_OPENCV:
-                out_boxes, weights = nms_ops.nms_boxes(raw_boxes, nms_min_neighbors)
-                boxes = out_boxes.astype(np.float64)
-                confidences = weights.astype(np.float64)
-            else:
-                boxes = raw_boxes.astype(np.float64)
-                confidences = raw_conf.astype(np.float64)
-            if vertically_enlarge and len(boxes):
-                boxes = rect_ops.vertically_enlarge(boxes, enlarge_top=0.2)
+        boxes, confidences = postprocess_raw(
+            raw_boxes,
+            raw_conf,
+            nms_mode=nms_mode,
+            nms_min_neighbors=nms_min_neighbors,
+            vertically_enlarge=vertically_enlarge,
+        )
     return DetectionResult(
         boxes=boxes,
         confidences=confidences,
@@ -417,7 +434,6 @@ class ServingDetector:
             self._plan,
             self._table,
             m["nms_on_device"],
-            m["img_h"],
             nms_mode=m["nms_mode"],
             nms_min_neighbors=m["nms_min_neighbors"],
             vertically_enlarge=m["vertically_enlarge"],

@@ -130,13 +130,10 @@ def main():
         "slices": lambda im: extract_windows_slices(im, plan),
         "resizes only": lambda im: resizes_only(im, plan),
     }
-    base = None
     for name, fn in variants.items():
         ms = timeit(scan_harness(fn))
         per_frame = ms / (K * BATCH)
         print(f"{name:20s}: {ms:7.1f} ms total  {per_frame:6.3f} ms/frame")
-        if base is None:
-            base = ms
 
 
 if __name__ == "__main__":

@@ -41,9 +41,7 @@ def main():
     with open(os.path.join(train_flagship.ARTIFACT_DIR, "flagship_eval.json")) as f:
         quality = json.load(f)
     cf.set("foreground_confidence_threshold", float(quality["threshold"]))
-    caps = tuple(
-        ((int(m * 1.5) + 127) // 128) * 128 for m in quality["survivors_max"][:-1]
-    )
+    caps = tuple(train_flagship.capacity_schedule_from_quality(quality))
     detector = casc.CascadeDetector(model)
     plan, table, coords_norm, boxes_float = detector._plan_and_table(480, 640)
     thresholds = tuple(casc.resolve_thresholds(model.n_nets))

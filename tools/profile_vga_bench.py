@@ -62,9 +62,7 @@ def main():
     model = train_flagship.load_flagship()
     with open(os.path.join(train_flagship.ARTIFACT_DIR, "flagship_eval.json")) as f:
         quality = json.load(f)
-    caps = tuple(
-        ((int(m * 1.5) + 127) // 128) * 128 for m in quality["survivors_max"][:-1]
-    )
+    caps = tuple(train_flagship.capacity_schedule_from_quality(quality))
     print(f"caps {caps}")
 
     detector = casc.CascadeDetector(model)

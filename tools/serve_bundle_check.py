@@ -44,9 +44,7 @@ def main():
         quality = json.load(f)
     cf.set("foreground_confidence_threshold", float(quality["threshold"]))
     cf.set("nms_on_device", True)
-    caps = [
-        ((int(m * 1.5) + 127) // 128) * 128 for m in quality["survivors_max"][:-1]
-    ]
+    caps = train_flagship.capacity_schedule_from_quality(quality)
     n_scenes = 32
     frames = [
         rgb_to_yuv420(

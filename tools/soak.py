@@ -42,7 +42,7 @@ def main():
     if os.path.exists(eval_json):
         with open(eval_json) as f:
             q = json.load(f)
-        caps = [((int(m * 1.5) + 127) // 128) * 128 for m in q["survivors_max"][:-1]]
+        caps = train_flagship.capacity_schedule_from_quality(q)
         cf.set("cascade_capacity_schedule", caps)
 
     detector = casc.CascadeDetector(model)

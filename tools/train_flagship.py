@@ -137,6 +137,29 @@ def load_flagship():
         return None
 
 
+def load_flagship_quality():
+    """The promoted eval artifact (operating threshold, measured survivor
+    maxima, quality numbers), or None when absent."""
+    import json
+
+    path = os.path.join(ARTIFACT_DIR, "flagship_eval.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def capacity_schedule_from_quality(quality):
+    """The deployment capacity policy: size each survivor buffer from the
+    trained model's MEASURED per-stage survivor maxima with 1.5x headroom,
+    rounded up to the 128 lane width — saturation re-dispatch remains the
+    correctness net if a frame exceeds them. One definition; bench.py and
+    every profiling/serving tool must use this."""
+    return [
+        ((int(m * 1.5) + 127) // 128) * 128 for m in quality["survivors_max"][:-1]
+    ]
+
+
 _SCENE_CACHE = {}
 
 
