@@ -167,6 +167,7 @@ def export_detector(
     n_rungs: int = 3,
     resample_impl: Optional[str] = None,
     platforms: Optional[Sequence[str]] = None,
+    mesh=None,
 ) -> ServingBundle:
     """Export the full cascade program for (img_h, img_w) frames.
 
@@ -186,7 +187,13 @@ def export_detector(
     a single frame instead of a padded batch. Each distinct concrete batch
     size still compiles its own executable on first use, so the serving
     loop chunks to a fixed hint (``inference_batch_frames`` at export time)
-    to bound recompiles."""
+    to bound recompiles.
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` — the program is exported
+    frame-sharded over the mesh's first axis (weights replicated), the
+    multi-chip serving layout of ``CascadeDetector(mesh=...)``. The bundle
+    records the device count; ``load_bundle`` must then be given a mesh of
+    the same size. Requires a static ``batch`` divisible by the mesh size."""
     if model.n_nets < 2:
         raise ValueError("a cascade must consist of at least two nets")
     size0 = model.input_sizes[0]
@@ -223,9 +230,20 @@ def export_detector(
     dynamic_batch = batch == "dynamic"
     chunk_hint = int(cf.get("inference_batch_frames"))
     if dynamic_batch:
+        if mesh is not None:
+            raise ValueError(
+                "a mesh-sharded export needs a static batch (the batch axis "
+                "is laid out over devices); pass an int batch"
+            )
         (batch_dim,) = jax_export.symbolic_shape("b")
     else:
         batch = int(batch or chunk_hint)
+        if mesh is not None and batch % mesh.devices.size != 0:
+            raise ValueError(
+                "batch {} is not divisible by the {}-device mesh".format(
+                    batch, mesh.devices.size
+                )
+            )
         chunk_hint = batch
         batch_dim = batch
 
@@ -281,6 +299,24 @@ def export_detector(
             (images,) = frame_args
             return casc._cascade_infer_device_batch(images, *common)
 
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = mesh.axis_names[0]
+            frames_sh = NamedSharding(mesh, PartitionSpec(axis))
+            rep = NamedSharding(mesh, PartitionSpec())
+            wsh = [rep] * len(flat_params)
+            if yuv:
+                return jax.jit(
+                    lambda y, uv, flat: run((y, uv), flat),
+                    in_shardings=(frames_sh, frames_sh, wsh),
+                    out_shardings=frames_sh,
+                )
+            return jax.jit(
+                lambda images, flat: run((images,), flat),
+                in_shardings=(frames_sh, wsh),
+                out_shardings=frames_sh,
+            )
         if yuv:
             return jax.jit(lambda y, uv, flat: run((y, uv), flat))
         return jax.jit(lambda images, flat: run((images,), flat))
@@ -329,6 +365,8 @@ def export_detector(
         "vertically_enlarge": bool(cf.get("vertically_enlarge_bboxes")),
         "platforms": list(programs[0].platforms),
         "weight_dtypes": [str(w.dtype) for w in weights],
+        "nr_devices": int(programs[0].nr_devices),
+        "mesh_axis": None if mesh is None else str(mesh.axis_names[0]),
     }
     return ServingBundle(meta=meta, weights=weights, programs=programs)
 
@@ -349,9 +387,10 @@ def save_bundle(bundle: ServingBundle, dir_path: str) -> None:
             f.write(prog.serialize())
 
 
-def load_bundle(dir_path: str) -> "ServingDetector":
+def load_bundle(dir_path: str, mesh=None) -> "ServingDetector":
     """Load a saved bundle into a ready :class:`ServingDetector` (no model,
-    no config — the artifact is self-contained)."""
+    no config — the artifact is self-contained). Mesh-sharded bundles
+    (exported with ``mesh=``) need a ``mesh`` of the recorded device count."""
     import ml_dtypes
 
     with open(os.path.join(dir_path, "meta.json")) as f:
@@ -373,7 +412,9 @@ def load_bundle(dir_path: str) -> "ServingDetector":
     for i in range(len(meta["capacity_rungs"])):
         with open(os.path.join(dir_path, f"program_{i}.bin"), "rb") as f:
             programs.append(jax_export.deserialize(f.read()))
-    return ServingDetector(ServingBundle(meta=meta, weights=weights, programs=programs))
+    return ServingDetector(
+        ServingBundle(meta=meta, weights=weights, programs=programs), mesh=mesh
+    )
 
 
 class ServingDetector:
@@ -385,11 +426,31 @@ class ServingDetector:
     ladder exactly like the live detector's re-dispatch loop, and a top-rung
     saturation warns and truncates (the artifact can't grow new programs)."""
 
-    def __init__(self, bundle: ServingBundle):
+    def __init__(self, bundle: ServingBundle, mesh=None):
         self.meta = bundle.meta
         self.programs = bundle.programs
-        # device-resident once; every rung call reuses the same buffers
-        self._weights = [jnp.asarray(w) for w in bundle.weights]
+        nr = int(self.meta.get("nr_devices", 1))
+        self._frames_sharding = None
+        if nr > 1:
+            if mesh is None or mesh.devices.size != nr:
+                raise ValueError(
+                    "this bundle was exported frame-sharded over {} devices; "
+                    "pass load_bundle(..., mesh=) with a {}-device mesh".format(
+                        nr, nr
+                    )
+                )
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._frames_sharding = NamedSharding(
+                mesh, PartitionSpec(self.meta["mesh_axis"])
+            )
+            rep = NamedSharding(mesh, PartitionSpec())
+            self._weights = [
+                jax.device_put(w, rep) for w in bundle.weights
+            ]
+        else:
+            # device-resident once; every rung call reuses the same buffers
+            self._weights = [jnp.asarray(w) for w in bundle.weights]
         m = self.meta
         self._plan = build_plan(
             m["img_h"],
@@ -418,11 +479,17 @@ class ServingDetector:
         """Dispatch one exported program over exactly `batch` frames; returns
         the device result (asynchronous — np.asarray blocks on it)."""
         m = self.meta
+
+        def place(a):
+            if self._frames_sharding is not None:
+                return jax.device_put(a, self._frames_sharding)
+            return jnp.asarray(a)
+
         if m["yuv"]:
-            y = jnp.asarray(np.stack([f[0] for f in frames]))
-            uv = jnp.asarray(np.stack([f[1] for f in frames]))
+            y = place(np.stack([f[0] for f in frames]))
+            uv = place(np.stack([f[1] for f in frames]))
             return self.programs[rung].call(y, uv, self._weights)
-        stack = jnp.asarray(np.stack(frames))
+        stack = place(np.stack(frames))
         return self.programs[rung].call(stack, self._weights)
 
     def _unpack(self, row: np.ndarray, rung: int) -> DetectionResult:

@@ -132,6 +132,40 @@ def test_bundle_dynamic_batch(tmp_path):
         _assert_same_results(a, b)
 
 
+def test_bundle_mesh_sharded(tmp_path):
+    # frame-sharded export over the 8-device CPU mesh: the bundle records the
+    # device count, serves with a matching mesh, and detections equal the
+    # single-device live detector frame for frame
+    from rapidobjectdetectionusingcascadedcnns_tpu.parallel import mesh as mesh_mod
+
+    _tiny_config()
+    model = cascade.build_cascade_model(seed=0)
+    frames = [
+        synthetic.make_scene(100, 120, n_faces=1, seed=s, min_face=40, max_face=60).image
+        for s in range(10)
+    ]
+    caps = [1024, 512]
+    det = cascade.CascadeDetector(model, capacity_schedule=caps)
+    live = det.detect_batch(frames)
+
+    m = mesh_mod.get_mesh(8)
+    bundle = serve.export_detector(
+        model, 100, 120, batch=8, capacities=caps, n_rungs=1, mesh=m
+    )
+    assert bundle.meta["nr_devices"] == 8
+    serve.save_bundle(bundle, str(tmp_path / "bundle"))
+
+    try:
+        serve.load_bundle(str(tmp_path / "bundle"))
+        assert False, "expected a mesh-required error"
+    except ValueError as e:
+        assert "frame-sharded" in str(e)
+
+    served = serve.load_bundle(str(tmp_path / "bundle"), mesh=m).detect_batch(frames)
+    for a, b in zip(live, served):
+        _assert_same_results(a, b)
+
+
 def test_run_export_serving_cli(tmp_path):
     # checkpoint -> run_export_serving.py subprocess -> loadable bundle
     import os
