@@ -6,7 +6,11 @@ software pipeline, host unpack), tracking per-batch latency drift, device
 memory growth, and detection-output stability across repeats of the same
 frames — the long-running-service health checks a deployment would watch.
 
-Usage: python tools/soak.py [n_frames]
+Usage: python tools/soak.py [n_frames] [--bundle]
+
+``--bundle`` runs the same soak through an AOT serving bundle
+(serve.export_detector -> save -> load -> ServingDetector) instead of the
+live detector — the deployment artifact under sustained load.
 """
 
 import json
@@ -27,7 +31,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    args = [a for a in sys.argv[1:] if a != "--bundle"]
+    use_bundle = "--bundle" in sys.argv[1:]
+    n_frames = int(args[0]) if args else 512
 
     import train_flagship
     from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
@@ -45,7 +51,27 @@ def main():
         caps = train_flagship.capacity_schedule_from_quality(q)
         cf.set("cascade_capacity_schedule", caps)
 
-    detector = casc.CascadeDetector(model)
+    if use_bundle:
+        import tempfile
+
+        from rapidobjectdetectionusingcascadedcnns_tpu import serve
+
+        cf.set("nms_on_device", True)
+        bundle = serve.export_detector(
+            model, 480, 640, yuv=True, capacities=caps, n_rungs=3,
+            resample_impl="xla",
+        )
+        _bundle_dir = tempfile.mkdtemp(prefix="soak_bundle_")
+        serve.save_bundle(bundle, _bundle_dir)
+        served = serve.load_bundle(_bundle_dir)
+
+        class _BundleAdapter:
+            def detect_batch_yuv420(self, frames):
+                return served.detect_batch(frames)
+
+        detector = _BundleAdapter()
+    else:
+        detector = casc.CascadeDetector(model)
     scenes = [
         rgb_to_yuv420(
             synthetic.make_scene(480, 640, 3, seed=s, min_face=48, max_face=120).image
@@ -92,6 +118,7 @@ def main():
     first_q = lat_ms[: len(lat_ms) // 4].mean()
     last_q = lat_ms[-len(lat_ms) // 4 :].mean()
     out = {
+        "path": "aot_bundle" if use_bundle else "live_detector",
         "n_frames": done,
         "batch": batch,
         "capacities": caps,
