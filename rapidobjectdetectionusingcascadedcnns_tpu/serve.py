@@ -371,6 +371,143 @@ def export_detector(
     return ServingBundle(meta=meta, weights=weights, programs=programs)
 
 
+def export_window_sharded(
+    model: CascadeModel,
+    img_h: int,
+    img_w: int,
+    mesh,
+    *,
+    capacities: Optional[Sequence[int]] = None,
+    n_rungs: int = 3,
+    resample_impl: Optional[str] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> ServingBundle:
+    """Export ONE image's cascade with the WINDOW axis sharded over ``mesh``
+    (parallel/window_shard.py) as a serving bundle — the huge-pyramid
+    multi-chip serving mode (FDDB-density images whose window batch exceeds
+    one chip) as a deployable artifact. The bundle walks the same capacity
+    ladder as the live window-sharded path's saturation re-dispatch loop.
+    Loads into a :class:`WindowShardedServingDetector` via ``load_bundle``
+    with a mesh of the recorded device count."""
+    from .parallel import window_shard
+    from .parallel.mesh import DATA_AXIS
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if model.n_nets < 2:
+        raise ValueError("a cascade must consist of at least two nets")
+    size0 = model.input_sizes[0]
+    mwl = float(cf.get("min_window_length"))
+    wsf = float(cf.get("window_scale_factor"))
+    plan = build_plan(img_h, img_w, size0, size0, mwl, wsf)
+    if plan.n_windows < 1:
+        raise ValueError("Could not extract any windows at this image size")
+    table = window_table(plan)
+    coords_norm = jnp.asarray(table["coords_norm"], dtype=jnp.int32)
+    n_stages = model.n_nets
+    base_caps = tuple(
+        capacities
+        or cf.get("cascade_capacity_schedule")
+        or casc.default_capacity_schedule(plan.n_windows, n_stages)
+    )
+    thresholds = tuple(casc.resolve_thresholds(n_stages))
+    mode = str(cf.get("final_confidence_calculation"))
+    extraction_mode = casc.resolve_extraction_mode(plan)
+    chunk = int(cf.get("inference_chunk_size"))
+    nms_mode = str(cf.get("nms"))
+    compaction = casc.resolve_compaction()
+    impl = resample_impl or "xla"
+    if impl in ("pallas2", "pallas2dyn"):
+        impl = "pallas"  # shard-local subsets can't use the full-plan kernels
+
+    stage_configs = tuple(model.stage_configs)
+    params_device = tuple(
+        casc._precast_params(jax.tree_util.tree_map(jnp.asarray, p), c)
+        for p, c in zip(model.stage_params, stage_configs)
+    )
+    stats_device = tuple(
+        (jnp.asarray(m), jnp.asarray(s))
+        for m, s in zip(model.stage_means, model.stage_stds)
+    )
+    flat_params, params_treedef = jax.tree_util.tree_flatten(params_device)
+    n_dev = mesh.devices.size
+    n0 = plan.n_windows
+    n0_pad = window_shard._pad_len(n0, n_dev)
+
+    rungs = [list(base_caps)]
+    while len(rungs) < max(1, n_rungs):
+        nxt = casc.escalate_capacities(rungs[-1], plan.n_windows)
+        if nxt is None:
+            break
+        rungs.append(nxt)
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    row_sharded = NamedSharding(mesh, PartitionSpec(DATA_AXIS, None))
+
+    def make_fn(caps: Tuple[int, ...]):
+        def run(image, boxes_padded, flat):
+            params = jax.tree_util.tree_unflatten(params_treedef, flat)
+            return window_shard.cascade_infer_window_sharded(
+                image,
+                coords_norm,
+                boxes_padded,
+                n0,
+                params,
+                stats_device,
+                plan,
+                stage_configs,
+                caps,
+                mode,
+                thresholds,
+                mesh,
+                chunk,
+                impl,
+                compaction,
+                extraction_mode,
+            )
+
+        return jax.jit(
+            run,
+            in_shardings=(rep, row_sharded, [rep] * len(flat_params)),
+        )
+
+    specs = (
+        jax.ShapeDtypeStruct((img_h, img_w, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((n0_pad, 4), jnp.float32),
+        [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in flat_params],
+    )
+    kwargs = {"platforms": tuple(platforms)} if platforms else {}
+    programs = [
+        jax_export.export(make_fn(tuple(caps)), **kwargs)(*specs) for caps in rungs
+    ]
+    weights = [np.asarray(a) for a in flat_params]
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "window_sharded",
+        "img_h": img_h,
+        "img_w": img_w,
+        "n_stages": n_stages,
+        "size0": size0,
+        "min_window_length": mwl,
+        "window_scale_factor": wsf,
+        "capacity_rungs": [list(map(int, caps)) for caps in rungs],
+        "thresholds": [float(t) for t in thresholds],
+        "confidence_mode": mode,
+        "extraction_mode": extraction_mode,
+        "resample_impl": impl,
+        "chunk": chunk,
+        "compaction": compaction,
+        "nms_mode": nms_mode,
+        "nms_min_neighbors": int(cf.get("nms_opencv_min_neighbors")),
+        "vertically_enlarge": bool(cf.get("vertically_enlarge_bboxes")),
+        "platforms": list(programs[0].platforms),
+        "weight_dtypes": [str(w.dtype) for w in weights],
+        "nr_devices": int(programs[0].nr_devices),
+        "mesh_axis": DATA_AXIS,
+        "n0_pad": n0_pad,
+    }
+    return ServingBundle(meta=meta, weights=weights, programs=programs)
+
+
 def save_bundle(bundle: ServingBundle, dir_path: str) -> None:
     """Write ``meta.json`` + ``weights.npz`` + one ``program_<rung>.bin`` per
     capacity rung. bfloat16 arrays are stored as uint16 views (npz has no
@@ -412,9 +549,10 @@ def load_bundle(dir_path: str, mesh=None) -> "ServingDetector":
     for i in range(len(meta["capacity_rungs"])):
         with open(os.path.join(dir_path, f"program_{i}.bin"), "rb") as f:
             programs.append(jax_export.deserialize(f.read()))
-    return ServingDetector(
-        ServingBundle(meta=meta, weights=weights, programs=programs), mesh=mesh
-    )
+    bundle = ServingBundle(meta=meta, weights=weights, programs=programs)
+    if meta.get("kind") == "window_sharded":
+        return WindowShardedServingDetector(bundle, mesh=mesh)
+    return ServingDetector(bundle, mesh=mesh)
 
 
 class ServingDetector:
@@ -572,3 +710,113 @@ class ServingDetector:
         while pending:
             finish(*pending.pop(0))
         return results  # type: ignore[return-value]
+
+
+class WindowShardedServingDetector:
+    """Serve single huge-pyramid images from a window-sharded bundle.
+
+    Mirrors ``parallel.window_shard.detect_window_sharded`` semantics: the
+    window axis of one image is sharded over the mesh, survivor tuples are
+    all-gathered at each compaction, and a saturated result walks the
+    bundle's capacity ladder (the live path's re-dispatch sequence)."""
+
+    def __init__(self, bundle: ServingBundle, mesh=None):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        self.meta = bundle.meta
+        self.programs = bundle.programs
+        m = self.meta
+        nr = int(m.get("nr_devices", 1))
+        if mesh is None or mesh.devices.size != nr:
+            raise ValueError(
+                "this bundle was exported window-sharded over {} devices; "
+                "pass load_bundle(..., mesh=) with a {}-device mesh".format(nr, nr)
+            )
+        rep = NamedSharding(mesh, PartitionSpec())
+        row_sharded = NamedSharding(mesh, PartitionSpec(m["mesh_axis"], None))
+        self._weights = [jax.device_put(w, rep) for w in bundle.weights]
+        self._plan = build_plan(
+            m["img_h"],
+            m["img_w"],
+            m["size0"],
+            m["size0"],
+            m["min_window_length"],
+            m["window_scale_factor"],
+        )
+        self._table = window_table(self._plan)
+        # the padded window-box table the program consumes, placed sharded
+        # over the mesh rows exactly like the live path (an in-jit pad would
+        # enter replicated and force a GSPMD re-shard)
+        boxes_np = np.asarray(self._table["boxes_float"], np.float32)
+        pad = m["n0_pad"] - boxes_np.shape[0]
+        boxes_padded = np.concatenate(
+            [boxes_np, np.broadcast_to(boxes_np[-1:], (pad, 4))]
+        )
+        self._boxes_dev = jax.device_put(boxes_padded, row_sharded)
+        self._warned = False
+
+    def detect(self, image: np.ndarray) -> DetectionResult:
+        m = self.meta
+        if image.shape != (m["img_h"], m["img_w"], 3):
+            raise ValueError(
+                "image shape {} does not match the exported program "
+                "({}x{})".format(image.shape, m["img_h"], m["img_w"])
+            )
+        image_dev = jnp.asarray(image)
+
+        def decode(out, rung):
+            window_ids, conf, alive, survivors = out
+            window_ids = np.asarray(window_ids)
+            conf = np.asarray(conf)
+            alive = np.asarray(alive)
+            survivors_int = [int(s) for s in np.asarray(survivors)]
+            keep_ids = window_ids[alive]
+            raw_boxes = self._table["coords_norm"][keep_ids]
+            raw_conf = conf[alive]
+            boxes, confidences = postprocess_raw(
+                raw_boxes,
+                raw_conf,
+                nms_mode=m["nms_mode"],
+                nms_min_neighbors=m["nms_min_neighbors"],
+                vertically_enlarge=m["vertically_enlarge"],
+            )
+            return DetectionResult(
+                boxes=boxes,
+                confidences=confidences,
+                raw_boxes=raw_boxes,
+                raw_confidences=raw_conf,
+                n_windows=self._plan.n_windows,
+                n_survivors_per_stage=survivors_int,
+                raw_window_ids=keep_ids,
+            )
+
+        rung = 0
+        result = decode(
+            self.programs[rung].call(image_dev, self._boxes_dev, self._weights),
+            rung,
+        )
+        while (
+            casc.CascadeDetector._is_saturated(
+                result.n_survivors_per_stage, m["capacity_rungs"][rung]
+            )
+            and rung + 1 < len(self.programs)
+        ):
+            rung += 1
+            result = decode(
+                self.programs[rung].call(
+                    image_dev, self._boxes_dev, self._weights
+                ),
+                rung,
+            )
+        if (
+            casc.CascadeDetector._is_saturated(
+                result.n_survivors_per_stage, m["capacity_rungs"][rung]
+            )
+            and not self._warned
+        ):
+            log.log(
+                "WARNING: window-sharded bundle saturated its top capacity "
+                "rung; excess windows were dropped. Export with more rungs."
+            )
+            self._warned = True
+        return result

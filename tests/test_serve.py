@@ -166,6 +166,43 @@ def test_bundle_mesh_sharded(tmp_path):
         _assert_same_results(a, b)
 
 
+def test_bundle_window_sharded(tmp_path):
+    # the huge-pyramid serving mode: one image's WINDOW axis sharded over the
+    # 8-device mesh, exported as an artifact — detections must equal both the
+    # live window-sharded path and the single-device detector
+    from rapidobjectdetectionusingcascadedcnns_tpu.parallel import (
+        mesh as mesh_mod,
+        window_shard,
+    )
+
+    _tiny_config()
+    cf.set("nms_on_device", False)
+    cf.set("window_extraction_mode", "crop")
+    model = cascade.build_cascade_model(seed=0)
+    scene = synthetic.make_scene(100, 120, n_faces=1, seed=3, min_face=40, max_face=60)
+    caps = [1024, 512]
+    m = mesh_mod.get_mesh(8)
+
+    det = cascade.CascadeDetector(model, capacity_schedule=caps)
+    single = det.detect(scene.image)
+    live_sharded = window_shard.detect_window_sharded(det, scene.image, m)
+
+    bundle = serve.export_window_sharded(
+        model, 100, 120, m, capacities=caps, n_rungs=1
+    )
+    assert bundle.meta["kind"] == "window_sharded"
+    serve.save_bundle(bundle, str(tmp_path / "bundle"))
+    served = serve.load_bundle(str(tmp_path / "bundle"), mesh=m).detect(scene.image)
+
+    assert sorted(map(tuple, served.raw_boxes.tolist())) == sorted(
+        map(tuple, single.raw_boxes.tolist())
+    )
+    assert served.n_survivors_per_stage == live_sharded.n_survivors_per_stage
+    np.testing.assert_allclose(
+        np.sort(served.boxes, axis=0), np.sort(single.boxes, axis=0), atol=1e-6
+    )
+
+
 def test_run_export_serving_cli(tmp_path):
     # checkpoint -> run_export_serving.py subprocess -> loadable bundle
     import os
