@@ -243,6 +243,28 @@ def test_run_export_serving_cli(tmp_path):
     assert res.raw_boxes.shape[1] == 4
 
 
+def test_bundle_rejects_format_version_mismatch(tmp_path):
+    import json
+    import os
+
+    _tiny_config()
+    model = cascade.build_cascade_model(seed=0)
+    bundle = serve.export_detector(model, 64, 64, batch=1, n_rungs=1)
+    d = str(tmp_path / "bundle")
+    serve.save_bundle(bundle, d)
+    meta_path = os.path.join(d, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["format_version"] = 99
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    try:
+        serve.load_bundle(d)
+        assert False, "expected a format-version error"
+    except ValueError as e:
+        assert "unsupported bundle format" in str(e)
+
+
 def test_bundle_rejects_wrong_shape(tmp_path):
     _tiny_config()
     model = cascade.build_cascade_model(seed=0)
