@@ -56,6 +56,11 @@ CANDIDATES = [
     ("hnm4-s0", 5000, 40000, 20, 0, {"_hard_negatives": 4}),
     ("deep24-hnm4-s0", 5000, 40000, 20, 0,
      {"conv_filter_sizes": [24, 24], "_hard_negatives": 4}),
+    # pooled trunk: pooling_stride 2 shrinks every fc1 4x (stage-0 4608 ->
+    # 288) — ~0.5 ms/frame of VGA device time if recall holds
+    ("deep2-pool2-hnm4-s0", 5000, 40000, 20, 0,
+     {"conv_filter_sizes": [32, 32], "pooling_stride": 2,
+      "_hard_negatives": 4}),
     # mixed-width trunk (conv_filter_sizes_per_stage): stage 0 runs on EVERY
     # pyramid window so it keeps the cheap single-block trunk; stages 1/2 see
     # only survivors and keep the deep2 capacity that won on recall
