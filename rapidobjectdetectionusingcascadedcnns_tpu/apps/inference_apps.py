@@ -180,27 +180,33 @@ class InferenceCascadeApp(AbstractInferenceApp):
 class InferenceOCVApp(AbstractInferenceApp):
     """OpenCV Viola-Jones baseline (app/inference_ocv_app.py:35-61).
 
-    Baseline-only, host-only; requires cv2 built with objdetect and the
-    pretrained haarcascade XML. Not on the TPU path by design
-    (SURVEY.md §2.7).
+    Baseline-only, host-only; not on the TPU path by design (SURVEY.md
+    §2.7). Uses cv2's CascadeClassifier when this build has objdetect,
+    otherwise the in-repo evaluator (ops/viola_jones.py) runs the same
+    pretrained XML — the baseline is executable either way.
     """
 
     def __init__(self, cascade_xml_path: Optional[str] = None):
         super().__init__()
-        import cv2
+        from ..ops import viola_jones as vj
 
-        if not hasattr(cv2, "CascadeClassifier"):
-            raise RuntimeError(
-                "This cv2 build has no objdetect module (CascadeClassifier); "
-                "the Viola-Jones baseline is unavailable in this environment."
-            )
-        path = cascade_xml_path or "opencv_data/haarcascade_frontalface_default.xml"
-        self._classifier = cv2.CascadeClassifier(path)
+        self._classifier = None
+        try:
+            import cv2
+
+            if hasattr(cv2, "CascadeClassifier"):
+                path = vj.default_cascade_path(cascade_xml_path)
+                if path:
+                    self._classifier = cv2.CascadeClassifier(path)
+        except ImportError:  # pragma: no cover - cv2 present in CI image
+            pass
+        if self._classifier is None:
+            self._classifier = vj.VJDetector(cascade_xml_path)
 
     def run_inference_on_image(self, image):
-        import cv2
+        from ..ops import viola_jones as vj
 
-        gray = cv2.cvtColor(image, cv2.COLOR_RGB2GRAY)
+        gray = vj.rgb_to_gray_u8(image)
         rects = self._classifier.detectMultiScale(
             gray,
             scaleFactor=cf.get("window_scale_factor"),

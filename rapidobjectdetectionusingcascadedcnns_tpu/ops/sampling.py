@@ -102,19 +102,30 @@ def sample_image(
 def make_haar_face_detector(cascade_xml_path: Optional[str] = None):
     """Viola-Jones face detector used to keep unannotated faces out of the
     background pool (reference run_sampling.py:60-67,114-122). Returns a
-    ``image -> (K, 4) xyxy boxes`` callable, or None when this cv2 build has
-    no objdetect module (annotations-only fallback)."""
+    ``image -> (K, 4) xyxy boxes`` callable — cv2's CascadeClassifier when
+    this build has objdetect, else the in-repo evaluator
+    (ops/viola_jones.py) — or None when no cascade XML can be found
+    (annotations-only fallback)."""
+    from . import viola_jones as vj
+
+    classifier = None
     try:
         import cv2
+
+        if hasattr(cv2, "CascadeClassifier"):
+            path = vj.default_cascade_path(cascade_xml_path)
+            if path:
+                classifier = cv2.CascadeClassifier(path)
     except ImportError:  # pragma: no cover - cv2 always present in CI image
-        return None
-    if not hasattr(cv2, "CascadeClassifier"):
-        return None
-    path = cascade_xml_path or "opencv_data/haarcascade_frontalface_default.xml"
-    classifier = cv2.CascadeClassifier(path)
+        pass
+    if classifier is None:
+        try:
+            classifier = vj.VJDetector(cascade_xml_path)
+        except FileNotFoundError:
+            return None
 
     def detect(img: np.ndarray) -> np.ndarray:
-        gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        gray = vj.rgb_to_gray_u8(img)
         # deliberately recall-heavy settings: false positives only shrink the
         # background pool, false negatives poison it (run_sampling.py:60-63)
         faces = classifier.detectMultiScale(

@@ -140,10 +140,23 @@ class TestRunSamplingMain:
         assert files == []  # every patch proposal collides with the "face"
 
     def test_falls_back_without_objdetect(self, native_corpus):
-        """This image's cv2 has no objdetect: main() must run annotations-only
-        (no crash) — the gated fallback the reference cannot express."""
-        assert sampling.make_haar_face_detector() is None  # this cv2 build
-        run_sampling.main()  # no detector -> annotations-only restrictions
+        """This image's cv2 has no objdetect: the detector chain falls back
+        to the in-repo Viola-Jones evaluator (ops/viola_jones.py) when a
+        cascade XML is findable, or to annotations-only when not — main()
+        must run either way."""
+        from rapidobjectdetectionusingcascadedcnns_tpu.ops import viola_jones
+
+        det = sampling.make_haar_face_detector()
+        have_xml = viola_jones.default_cascade_path() is not None
+        assert (det is not None) == have_xml
+        run_sampling.main()
         out_root = cf.get("dataset_presampled_path_root")
         bg_dir = os.path.join(out_root, "testset", "background")
-        assert len(os.listdir(bg_dir)) == 20
+        n = len(os.listdir(bg_dir))
+        if have_xml:
+            # the live detector shifts which patch proposals survive; the
+            # restriction semantics themselves are pinned by the
+            # fake-detector tests above
+            assert n >= 15
+        else:
+            assert n == 20

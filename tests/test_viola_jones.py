@@ -1,0 +1,220 @@
+"""In-repo Viola-Jones evaluator: parse integrity, a brute-force oracle for
+the vectorized window evaluation, real-model detection behavior, and the
+InferenceOCVApp fallback (reference app/inference_ocv_app.py:35-61)."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from rapidobjectdetectionusingcascadedcnns_tpu.data import synthetic
+from rapidobjectdetectionusingcascadedcnns_tpu.ops import viola_jones as vj
+
+REFERENCE_XML = "/root/reference/opencv_data/haarcascade_frontalface_default.xml"
+
+needs_model = pytest.mark.skipif(
+    not os.path.exists(REFERENCE_XML), reason="pretrained haar XML not present"
+)
+
+
+def _naive_eval(cascade, level, oy, ox):
+    """Brute-force per-window reimplementation (no integral images): the
+    oracle for _eval_windows' vectorized gathers."""
+    keep = np.zeros(len(oy), bool)
+    nh, nw = cascade.window_h - 2, cascade.window_w - 2
+    for wi, (y, x) in enumerate(zip(oy, ox)):
+        win = level[y : y + cascade.window_h, x : x + cascade.window_w]
+        norm = win[1 : 1 + nh, 1 : 1 + nw]
+        s = norm.sum()
+        s2 = (norm * norm).sum()
+        nf = nh * nw * s2 - s * s
+        nf = np.sqrt(nf) if nf > 0 else 1.0
+        inv = 1.0 / nf
+        ok = True
+        for si in range(cascade.n_stages):
+            first, count = cascade.stage_bounds[si]
+            total = 0.0
+            for k in range(first, first + count):
+                fi = cascade.stump_feature[k]
+                val = 0.0
+                for r in range(3):
+                    w = cascade.feat_weights[fi, r]
+                    if w == 0.0:
+                        continue
+                    rx, ry, rw, rh = cascade.feat_rects[fi, r]
+                    val += w * win[ry : ry + rh, rx : rx + rw].sum()
+                val *= inv
+                total += cascade.stump_leaves[k][
+                    0 if val < cascade.stump_threshold[k] else 1
+                ]
+            if total < cascade.stage_thresholds[si]:
+                ok = False
+                break
+        keep[wi] = ok
+    return keep
+
+
+def _random_cascade(rng, n_stages=3, stumps_per_stage=4, window=24):
+    n_stumps = n_stages * stumps_per_stage
+    rects = np.zeros((n_stumps, 3, 4), np.int64)
+    weights = np.zeros((n_stumps, 3), np.float64)
+    for f in range(n_stumps):
+        n_r = int(rng.integers(2, 4))
+        for r in range(n_r):
+            w = int(rng.integers(2, 10))
+            h = int(rng.integers(2, 10))
+            x = int(rng.integers(0, window - w))
+            y = int(rng.integers(0, window - h))
+            rects[f, r] = (x, y, w, h)
+            weights[f, r] = float(rng.normal())
+    return vj.HaarCascade(
+        window_h=window,
+        window_w=window,
+        stage_thresholds=rng.normal(scale=0.5, size=n_stages),
+        stage_bounds=np.stack(
+            [np.arange(n_stages) * stumps_per_stage,
+             np.full(n_stages, stumps_per_stage)], axis=1
+        ),
+        stump_feature=np.arange(n_stumps),
+        stump_threshold=rng.normal(scale=0.01, size=n_stumps),
+        stump_leaves=rng.normal(size=(n_stumps, 2)),
+        feat_rects=rects,
+        feat_weights=weights,
+    )
+
+
+def test_vectorized_eval_matches_naive_oracle():
+    rng = np.random.default_rng(5)
+    for trial in range(3):
+        cascade = _random_cascade(rng)
+        level = rng.integers(0, 256, size=(40, 48)).astype(np.float64)
+        ys, xs = np.meshgrid(
+            np.arange(0, 40 - 24 + 1, 2), np.arange(0, 48 - 24 + 1, 2), indexing="ij"
+        )
+        oy, ox = ys.ravel(), xs.ravel()
+        fast = vj._eval_windows(cascade, level, oy, ox)
+        slow = _naive_eval(cascade, level, oy, ox)
+        np.testing.assert_array_equal(fast, slow)
+
+
+def test_parse_tiny_xml_and_detect():
+    # a single-stage, single-stump cascade over a 4x4 window: feature =
+    # (bottom half sum) - (top half sum); passes when bottom is brighter
+    xml = textwrap.dedent("""\
+        <?xml version="1.0"?>
+        <opencv_storage>
+        <cascade type_id="opencv-cascade-classifier"><stageType>BOOST</stageType>
+          <featureType>HAAR</featureType>
+          <height>4</height><width>4</width>
+          <stageNum>1</stageNum>
+          <stages>
+            <_>
+              <maxWeakCount>1</maxWeakCount>
+              <stageThreshold>0.5</stageThreshold>
+              <weakClassifiers>
+                <_>
+                  <internalNodes>0 -1 0 0.0</internalNodes>
+                  <leafValues>-1. 1.</leafValues></_>
+              </weakClassifiers></_>
+          </stages>
+          <features>
+            <_>
+              <rects>
+                <_>0 0 4 4 -1.</_>
+                <_>0 2 4 2 2.</_>
+              </rects></_>
+          </features>
+        </cascade>
+        </opencv_storage>
+        """)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".xml", delete=False) as f:
+        f.write(xml)
+        path = f.name
+    cascade = vj.parse_cascade_xml(path)
+    os.unlink(path)
+    assert cascade.n_stages == 1 and cascade.window_h == 4
+
+    img = np.zeros((4, 8), np.uint8)
+    img[2:, 0:4] = 200  # bright bottom half in the left window only
+    img[:, 4:] = 128  # flat right side: feature sum 0 -> fails
+    rects = vj.detect_multi_scale(cascade, img, scale_factor=1.5, min_neighbors=0)
+    assert len(rects) >= 1
+    assert tuple(rects[0]) == (0, 0, 4, 4)
+
+
+@needs_model
+def test_real_model_detects_synthetic_face_and_rejects_noise():
+    cascade = vj.parse_cascade_xml(REFERENCE_XML)
+    assert cascade.n_stages == 25
+    assert len(cascade.feat_rects) == len(cascade.stump_feature)
+    # parse sanity: every HAAR feature's weighted area sums to zero
+    areas = cascade.feat_rects[..., 2] * cascade.feat_rects[..., 3]
+    assert np.abs((cascade.feat_weights * areas).sum(axis=1)).max() == 0.0
+
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, size=(120, 160)).astype(np.uint8)
+    assert len(vj.detect_multi_scale(cascade, noise, 1.1, 3)) == 0
+
+    scene = synthetic.make_scene(120, 160, n_faces=1, seed=3, min_face=60, max_face=80)
+    rects = vj.detect_multi_scale(cascade, vj.rgb_to_gray_u8(scene.image), 1.1, 1)
+    assert len(rects) >= 1
+    # best detection overlaps the ground-truth face
+    gx0, gy0, gx1, gy1 = scene.boxes[0]
+    best = 0.0
+    for x, y, w, h in rects:
+        ix0, iy0 = max(x, gx0), max(y, gy0)
+        ix1, iy1 = min(x + w, gx1), min(y + h, gy1)
+        inter = max(0, ix1 - ix0) * max(0, iy1 - iy0)
+        union = w * h + (gx1 - gx0) * (gy1 - gy0) - inter
+        best = max(best, inter / union)
+    assert best > 0.4, (rects, scene.boxes)
+
+
+@needs_model
+def test_inference_ocv_app_runs_without_objdetect():
+    from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+    from rapidobjectdetectionusingcascadedcnns_tpu.apps.inference_apps import (
+        InferenceOCVApp,
+    )
+
+    cf.set("window_scale_factor", 1.1)
+    cf.set("nms_opencv_min_neighbors", 1)
+    app = InferenceOCVApp(cascade_xml_path=REFERENCE_XML)
+    scene = synthetic.make_scene(120, 160, n_faces=1, seed=3, min_face=60, max_face=80)
+    res = app.run_inference_on_image(scene.image)
+    assert res.boxes.shape[1] == 4
+    assert len(res.boxes) >= 1
+
+
+@needs_model
+def test_haar_background_sampler_uses_fallback():
+    from rapidobjectdetectionusingcascadedcnns_tpu.ops import sampling
+
+    det = sampling.make_haar_face_detector(REFERENCE_XML)
+    assert det is not None
+    scene = synthetic.make_scene(120, 160, n_faces=1, seed=3, min_face=60, max_face=80)
+    boxes = det(scene.image)
+    assert boxes.shape[1] == 4 and len(boxes) >= 1
+
+
+@needs_model
+def test_cross_check_against_cv2_when_objdetect_present():
+    cv2 = pytest.importorskip("cv2")
+    if not hasattr(cv2, "CascadeClassifier"):
+        pytest.skip("cv2 built without objdetect (expected in this image)")
+    classifier = cv2.CascadeClassifier(REFERENCE_XML)
+    cascade = vj.parse_cascade_xml(REFERENCE_XML)
+    scene = synthetic.make_scene(160, 200, n_faces=2, seed=11, min_face=60, max_face=90)
+    gray = vj.rgb_to_gray_u8(scene.image)
+    ours = vj.detect_multi_scale(cascade, gray, 1.1, 2)
+    theirs = classifier.detectMultiScale(gray, scaleFactor=1.1, minNeighbors=2)
+    # resize/rounding differences may flip borderline windows; the grouped
+    # outputs must agree in count and near-exactly in geometry
+    assert len(ours) == len(theirs)
+    if len(theirs):
+        np.testing.assert_allclose(
+            np.sort(ours, axis=0), np.sort(np.asarray(theirs), axis=0), atol=2
+        )
