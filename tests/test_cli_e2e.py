@@ -86,6 +86,19 @@ def test_run_loading_dataset_main(cli_home):
     assert "7" in out or "dataset" in out.lower()
 
 
+def test_run_inference_visual_opencv_main(cli_home):
+    # now executable in this env: the in-repo Viola-Jones evaluator
+    # (ops/viola_jones.py) backs InferenceOCVApp when cv2 lacks objdetect
+    import pytest
+
+    from rapidobjectdetectionusingcascadedcnns_tpu.ops import viola_jones
+
+    if viola_jones.default_cascade_path() is None:
+        pytest.skip("no pretrained haar XML findable")
+    out = _run_script("run_inference_visual_opencv.py", cli_home)
+    assert "Traceback" not in out
+
+
 def test_run_remove_all_broken_images_main(cli_home):
     tmp_path, root = cli_home
     # plant one unreadable image file
