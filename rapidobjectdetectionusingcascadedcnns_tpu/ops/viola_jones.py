@@ -253,10 +253,13 @@ def detect_multi_scale(
     gray: np.ndarray,
     scale_factor: float = 1.1,
     min_neighbors: int = 3,
+    return_weights: bool = False,
 ) -> np.ndarray:
     """``cv2.CascadeClassifier.detectMultiScale`` semantics: returns (N, 4)
     int32 rects (x, y, w, h) in original image coordinates after
-    groupRectangles(min_neighbors, eps=0.2)."""
+    groupRectangles(min_neighbors, eps=0.2). With ``return_weights`` also
+    returns the per-cluster neighbor counts (detectMultiScale's
+    ``levelWeights``-style confidence surrogate, used for ROC sweeps)."""
     if scale_factor <= 1.0:
         raise ValueError("scale_factor must be > 1")
     gray = np.asarray(gray)
@@ -297,10 +300,12 @@ def detect_multi_scale(
         factor *= scale_factor
 
     if not candidates:
-        return np.zeros((0, 4), np.int32)
+        empty = np.zeros((0, 4), np.int32)
+        return (empty, np.zeros((0,), np.int64)) if return_weights else empty
     rects = np.asarray(candidates, np.float64)
-    grouped, _weights = group_rectangles(rects, int(min_neighbors), eps=0.2)
-    return np.asarray(np.round(grouped), np.int32)
+    grouped, weights = group_rectangles(rects, int(min_neighbors), eps=0.2)
+    out = np.asarray(np.round(grouped), np.int32)
+    return (out, weights) if return_weights else out
 
 
 class VJDetector:
