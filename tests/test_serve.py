@@ -108,6 +108,36 @@ def test_bundle_capacity_ladder_matches_redispatch(tmp_path):
     )
 
 
+def test_bundle_multi_platform_export(tmp_path):
+    # platforms=("cpu", "tpu") lowers ONE artifact for both platforms
+    # (jax.export cross-platform lowering) — it must load and execute
+    # wherever one of the named platforms is present (here: the CPU
+    # backend) with detections identical to the live detector. The
+    # TPU-side execution of the same artifact is validated on hardware by
+    # tools/cross_platform_bundle.py (artifacts/cross_platform_check.json).
+    _tiny_config()
+    model = cascade.build_cascade_model(seed=0)
+    frames = [
+        synthetic.make_scene(100, 120, n_faces=1, seed=s, min_face=40, max_face=60).image
+        for s in range(2)
+    ]
+    caps = [1024, 512]
+    det = cascade.CascadeDetector(model, capacity_schedule=caps)
+    live = det.detect_batch(frames)
+
+    bundle = serve.export_detector(
+        model, 100, 120, batch=2, capacities=caps, n_rungs=1,
+        platforms=("cpu", "tpu"),
+    )
+    assert bundle.meta["platforms"] == ["cpu", "tpu"]
+    serve.save_bundle(bundle, str(tmp_path / "bundle"))
+    served_det = serve.load_bundle(str(tmp_path / "bundle"))
+    assert served_det.meta["platforms"] == ["cpu", "tpu"]
+    served = served_det.detect_batch(frames)
+    for a, b in zip(live, served):
+        _assert_same_results(a, b)
+
+
 def test_bundle_dynamic_batch(tmp_path):
     # symbolic batch dim: one program, any frame count, no padding; the
     # saturation ladder re-runs single frames. Must equal the live detector
