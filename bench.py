@@ -85,7 +85,7 @@ def main() -> None:
             )
             import subprocess
 
-            subprocess.run(
+            proc = subprocess.run(
                 [
                     sys.executable,
                     os.path.join(
@@ -100,6 +100,17 @@ def main() -> None:
                 check=False,
             )
             model = train_flagship.load_flagship()
+            if proc.returncode != 0 or model is None:
+                # make the silent-random-weights failure loud: stderr +
+                # a distinct JSON weights marker (ADVICE r3)
+                sys.stderr.write(
+                    "WARNING: flagship retrain FAILED (exit {}); bench will "
+                    "record weights='random (retrain failed)'\n".format(
+                        proc.returncode
+                    )
+                )
+                weights = "random (retrain failed)"
+                model = None
         if model is not None:
             weights = "trained"
             eval_json = os.path.join(train_flagship.ARTIFACT_DIR, "flagship_eval.json")

@@ -138,11 +138,13 @@ def parse_cascade_xml(path: str) -> HaarCascade:
 def default_cascade_path(explicit: Optional[str] = None) -> Optional[str]:
     """Resolve the pretrained frontal-face XML: an explicit path, the
     reference-layout ``opencv_data/`` in the working directory, or the
-    read-only reference checkout when present."""
+    copy vendored at the repo root (self-contained — no dependency on
+    the reference checkout, which ships the same OpenCV asset)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     candidates = [
         explicit,
         os.path.join("opencv_data", "haarcascade_frontalface_default.xml"),
-        "/root/reference/opencv_data/haarcascade_frontalface_default.xml",
+        os.path.join(repo_root, "opencv_data", "haarcascade_frontalface_default.xml"),
     ]
     for c in candidates:
         if c and os.path.exists(c):

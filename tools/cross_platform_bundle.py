@@ -93,6 +93,11 @@ def main() -> int:
 
     cf.reset()
     model = train_flagship.load_flagship()
+    assert model is not None, (
+        "trained flagship artifact missing (machine-local, gitignored) — "
+        "run `python tools/train_flagship.py` first, or use bench.py which "
+        "auto-retrains"
+    )
     with open(
         os.path.join(train_flagship.ARTIFACT_DIR, "flagship_eval.json")
     ) as f:
@@ -164,16 +169,21 @@ def main() -> int:
             )
             continue
         if a["boxes"]:
-            bd = float(
-                np.max(np.abs(np.asarray(a["boxes"]) - np.asarray(b["boxes"])))
-            )
-            cd = float(
-                np.max(
-                    np.abs(
-                        np.asarray(a["confidences"]) - np.asarray(b["confidences"])
-                    )
-                )
-            )
+            # greedy order-insensitive matching: the two backends may emit
+            # the same detection set in a different NMS order (ADVICE r3)
+            ab = np.asarray(a["boxes"], float)
+            bb = np.asarray(b["boxes"], float)
+            ac = np.asarray(a["confidences"], float)
+            bc = np.asarray(b["confidences"], float)
+            unused = list(range(len(bb)))
+            bd = 0.0
+            cd = 0.0
+            for j in range(len(ab)):
+                dists = [np.abs(ab[j] - bb[k]).max() for k in unused]
+                pick = int(np.argmin(dists))
+                k = unused.pop(pick)
+                bd = max(bd, float(dists[pick]))
+                cd = max(cd, float(abs(ac[j] - bc[k])))
             max_box_delta = max(max_box_delta, bd)
             max_conf_delta = max(max_conf_delta, cd)
             if bd > 1.0 or cd > 0.05:
