@@ -381,6 +381,102 @@ def _apply_stage_on_windows_chunked(
     )
 
 
+def _stage0_schedule(plan: PyramidPlan, size: int, resample_impl: str,
+                     high_precision: bool):
+    """The scheduled support-bounded extraction plan for stage 0, or None
+    when the impl/precision rules it out or the plan admits no schedule.
+    One definition shared by the traced programs (which consume it) and the
+    host unpack paths (which need ``sched.ids`` to map scheduled row order
+    back to plan window order)."""
+    if resample_impl not in ("pallas2", "pallas2dyn") or high_precision:
+        return None
+    from ..ops import windows_sched
+
+    return windows_sched.schedule_for_plan(plan, size, size)
+
+
+def _stage0_apply(
+    image_f: jnp.ndarray,
+    boxes_float: jnp.ndarray,
+    plan: PyramidPlan,
+    params,
+    stage_cfg: cnn.StageConfig,
+    mean0: jnp.ndarray,
+    std0: jnp.ndarray,
+    chunk: int,
+    extraction_mode: str,
+    resample_impl: str,
+    high_precision: bool,
+):
+    """Dense-pyramid stage-0 classification (shared by the cascade core and
+    the single-net detector, which IS a dense stage-0 pass at its own input
+    resolution — reference app/inference_app.py:117-154).
+
+    gather mode: one fused resize+gather per pyramid level (best for coarse
+    pyramids); crop mode: one chunked interpolation-einsum over the whole
+    window set (program size independent of pyramid density — required for
+    FDDB-style 1.005 pyramids with ~500 levels). On TPU the crop mode's
+    resample runs the scheduled support-bounded Pallas kernel
+    (ops/windows_sched.py) when the static plan admits a schedule.
+
+    Returns (probs (M, 2), bottleneck (M, B), window_ids0 (M,) int32 or
+    None, valid0 (M,) bool or None): ids/valid are non-None exactly when the
+    scheduled kernel ran — its output rows are in scheduled order with
+    replicated pad rows; ids map rows back to plan order, valid masks pads.
+    """
+    if extraction_mode == "crop":
+        sched = _stage0_schedule(
+            plan, stage_cfg.input_size, resample_impl, high_precision
+        )
+        if sched is not None:
+            from ..ops import windows_sched
+
+            # scheduled order is consumed as-is: the window-id channel
+            # carries identity, so un-permuting 100+ MB of windows would be
+            # pure waste — ids map rows back to plan order and the
+            # replicated pad rows are masked out of the alive set
+            wins0 = windows_sched.extract_scheduled(
+                image_f, boxes_float, sched, out_dtype=jnp.bfloat16,
+                reorder=False,
+                # one horizontal matmul per tile beats the serial per-window
+                # loop on the small scheduled cells (21.7 vs 24.8 ms at FDDB
+                # density, tools/profile_reextract.py); bit-identical output
+                blockdiag=True,
+            )
+            probs0, bottleneck = _apply_stage_on_windows_chunked(
+                wins0, None, params, stage_cfg, mean0, std0, chunk
+            )
+            return (
+                probs0,
+                bottleneck,
+                jnp.asarray(sched.ids.astype(np.int32)),
+                jnp.asarray(sched.valid),
+            )
+        probs0, bottleneck = _apply_stage_on_boxes_chunked(
+            image_f,
+            boxes_float,
+            None,
+            params,
+            stage_cfg,
+            mean0,
+            std0,
+            chunk,
+            high_precision,
+            "pallas" if resample_impl in ("pallas2", "pallas2dyn") else resample_impl,
+        )
+        return probs0, bottleneck, None, None
+
+    windows = extract_windows(image_f, plan)  # (N0, s0, s0, C)
+    x = (windows - mean0) / std0
+    out0 = cnn.apply_stage(
+        params,
+        stage_cfg,
+        x,
+        precision=jax.lax.Precision.HIGHEST if high_precision else None,
+    )
+    return out0["probs"], out0["bottleneck"], None, None
+
+
 def _cascade_core(
     image: jnp.ndarray,
     coords_norm: jnp.ndarray,  # (N0, 4) int32 window coords on original image
@@ -416,75 +512,21 @@ def _cascade_core(
     n_stages = len(stage_configs)
     image_f = image.astype(jnp.float32)
 
-    # ---- stage 0: dense pyramid windows ----
-    # gather mode: one fused resize+gather per pyramid level (best for coarse
-    # pyramids); crop mode: one chunked interpolation-einsum over the whole
-    # window set (program size independent of pyramid density — required for
-    # FDDB-style 1.005 pyramids with ~500 levels). On TPU the crop mode's
-    # resample runs the scheduled support-bounded Pallas kernel
-    # (ops/windows_sched.py) when the static plan admits a schedule.
     mean0, std0 = stage_stats[0]
-    if extraction_mode == "crop":
-        sched = None
-        if resample_impl in ("pallas2", "pallas2dyn") and not high_precision:
-            from ..ops import windows_sched
-
-            sched = windows_sched.schedule_for_plan(
-                plan, stage_configs[0].input_size, stage_configs[0].input_size
-            )
-        if sched is not None:
-            # scheduled order is consumed as-is: the cascade's window-id
-            # channel carries identity, so un-permuting 100+ MB of windows
-            # would be pure waste — ids map rows back to plan order and the
-            # replicated pad rows are masked out of the alive set below
-            wins0 = windows_sched.extract_scheduled(
-                image_f, boxes_float, sched, out_dtype=jnp.bfloat16,
-                reorder=False,
-                # one horizontal matmul per tile beats the serial per-window
-                # loop on the small scheduled cells (21.7 vs 24.8 ms at FDDB
-                # density, tools/profile_reextract.py); bit-identical output
-                blockdiag=True,
-            )
-            probs0, bottleneck = _apply_stage_on_windows_chunked(
-                wins0,
-                None,
-                stage_params[0],
-                stage_configs[0],
-                mean0,
-                std0,
-                chunk,
-            )
-            window_ids0 = jnp.asarray(sched.ids.astype(np.int32))
-            valid0 = jnp.asarray(sched.valid)
-        else:
-            probs0, bottleneck = _apply_stage_on_boxes_chunked(
-                image_f,
-                boxes_float,
-                None,
-                stage_params[0],
-                stage_configs[0],
-                mean0,
-                std0,
-                chunk,
-                high_precision,
-                "pallas"
-                if resample_impl in ("pallas2", "pallas2dyn")
-                else resample_impl,
-            )
-            window_ids0 = valid0 = None
-        n_windows0 = probs0.shape[0]
-    else:
-        windows = extract_windows(image_f, plan)  # (N0, s0, s0, C)
-        x = (windows - mean0) / std0
-        out0 = cnn.apply_stage(
-            stage_params[0],
-            stage_configs[0],
-            x,
-            precision=jax.lax.Precision.HIGHEST if high_precision else None,
-        )
-        probs0, bottleneck = out0["probs"], out0["bottleneck"]
-        n_windows0 = windows.shape[0]
-        window_ids0 = valid0 = None
+    probs0, bottleneck, window_ids0, valid0 = _stage0_apply(
+        image_f,
+        boxes_float,
+        plan,
+        stage_params[0],
+        stage_configs[0],
+        mean0,
+        std0,
+        chunk,
+        extraction_mode,
+        resample_impl,
+        high_precision,
+    )
+    n_windows0 = probs0.shape[0]
     p_fg = probs0[:, 1]
     alive = p_fg > thresholds[0]
     if valid0 is not None:

@@ -211,7 +211,13 @@ def apply_stage(
     if cfg.backbone == "inception":
         from . import inception
 
-        fc1 = inception.apply_backbone(params["backbone"], x, dtype=cdt)
+        if x.ndim == 2:
+            # pre-embedded frozen-trunk features (the embed-once training
+            # path, train/trainer.py): the trunk already ran, x IS the
+            # 2048-d bottleneck — only the classifier head applies
+            fc1 = x.astype(jnp.float32)
+        else:
+            fc1 = inception.apply_backbone(params["backbone"], x, dtype=cdt)
         return _head(
             params, cfg, fc1, bottleneck_in, dropout_keep, dropout_rng, precision
         )

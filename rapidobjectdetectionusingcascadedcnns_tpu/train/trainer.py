@@ -119,6 +119,20 @@ class SingleNetTrainer:
         self._rng_key = jax.random.PRNGKey(seed + nr)
 
         optimizer = opt_mod.optimizer_from_config(self.iterations_total)
+        if use_inception and cf.get("inception_weights_path"):
+            # pretrained-trunk workflow: the grafted backbone stays FROZEN,
+            # only the classifier head trains — the reference imports the
+            # Inception graph as constants and trains the layers on top
+            # (network/inception_builder.py:68-96, app/train_app.py:241-251)
+            import optax
+
+            def _head_only_mask(params):
+                return {
+                    k: jax.tree_util.tree_map(lambda _: k != "backbone", v)
+                    for k, v in params.items()
+                }
+
+            optimizer = optax.masked(optimizer, _head_only_mask)
         self._optimizer = optimizer
 
         if snapshot_full_path:
@@ -143,11 +157,20 @@ class SingleNetTrainer:
             l1_strength=float(cf.get("L1_regularization_strength")),
             dropout_keep=float(cf.get("dropout_rate")),
         )
+        self._frozen_trunk = bool(
+            use_inception and cf.get("inception_weights_path")
+        )
         acfg = (
             augment_ops.AugmentConfig.from_config()
-            if cf.get("data_augmentation_online")
+            if cf.get("data_augmentation_online") and not self._frozen_trunk
             else None
         )
+        if self._frozen_trunk and cf.get("data_augmentation_online"):
+            log.log(
+                "frozen pretrained trunk: disabling online augmentation for "
+                "this stage (images are embedded once through the trunk; the "
+                "head trains on cached 2048-d bottlenecks)"
+            )
         self._train_step = train_step.make_train_step(
             self.stage_config, optimizer, loss_settings, acfg
         )
@@ -162,6 +185,18 @@ class SingleNetTrainer:
         std = np.broadcast_to(np.asarray(pp.std, np.float32), (size, size, 3)).copy()
         self._mean = jnp.asarray(mean)
         self._std = jnp.asarray(std)
+
+        if self._frozen_trunk:
+            # embed-once: run every split through the frozen trunk ONCE and
+            # train/evaluate/predict the head on cached 2048-d bottlenecks.
+            # The reference re-runs the frozen Inception graph every step
+            # (inception_builder.py:68-96); embedding once is the idiomatic
+            # frozen-trunk formulation — same numbers, a fraction of the
+            # compute. The steps' standardization becomes the identity
+            # (mean 0 / std 1): it already happened inside the embed pass.
+            self._embed_splits_through_trunk()
+            self._mean = jnp.zeros((), jnp.float32)
+            self._std = jnp.ones((), jnp.float32)
 
         if self.mesh is not None:
             from ..parallel import mesh as mesh_mod
@@ -180,6 +215,49 @@ class SingleNetTrainer:
         self._last_loss = None
 
     # ---------------- helpers ----------------
+
+    def _embed_splits_through_trunk(self, chunk: int = 8) -> None:
+        """Replace every split's images with their frozen-trunk embeddings
+        (one fixed-shape jitted program, padded last chunk). Mutates the
+        per-stage dataset in place: downstream predict/eval/combined-eval
+        consume the same embedded arrays through apply_stage's 2D path."""
+        import jax as _jax
+
+        from ..models import inception
+
+        backbone = jax.tree_util.tree_map(jnp.asarray, self.state.params["backbone"])
+        mean, std = self._mean, self._std
+
+        @_jax.jit
+        def embed(images_u8):
+            x = (images_u8.astype(jnp.float32) - mean) / std
+            return inception.apply_backbone(backbone, x)
+
+        for split in (self.ds.train, self.ds.valid, self.ds.test):
+            imgs = split.images
+            if imgs.ndim != 4 or len(imgs) == 0:
+                continue  # already embedded (shared split) or empty
+            out = np.empty(
+                (len(imgs), inception.BOTTLENECK_TENSOR_SIZE), np.float32
+            )
+            for s in range(0, len(imgs), chunk):
+                block = imgs[s : s + chunk]
+                pad = chunk - len(block)
+                if pad:
+                    block = np.concatenate(
+                        [block, np.repeat(block[-1:], pad, axis=0)]
+                    )
+                out[s : s + chunk - pad] = np.asarray(embed(jnp.asarray(block)))[
+                    : chunk - pad
+                ]
+            split.images = out
+        log.log(
+            "embedded {} train / {} valid / {} test samples through the "
+            "frozen trunk".format(
+                self.ds.train.n_samples, self.ds.valid.n_samples,
+                self.ds.test.n_samples,
+            )
+        )
 
     def _batch_bottlenecks(self, batch) -> np.ndarray:
         if self.stage_config.bottleneck_in_size is None:
