@@ -62,11 +62,17 @@ class SyntheticProvider:
     negatives are re-sampled where the current detector fires). Lower
     resolutions are derived by the same aligned block-mean as the scene
     corpus so all stages see pixel-aligned views of each mined window.
+
+    ``hard_positives``: the symmetric bootstrap for MISSED faces
+    (tools/mine_hard_positives.py): crops of ground-truth faces the current
+    detector scores below threshold (and their best surviving pyramid
+    windows), appended as foreground samples — hard-positive mining of the
+    recorded model-limited miss set (VERDICT r3 item 2).
     """
 
     def __init__(
         self, n_pos: int, n_neg: int, sizes: List[int], seed: int = 0,
-        source: str = "patches", hard_negatives=None,
+        source: str = "patches", hard_negatives=None, hard_positives=None,
     ):
         import numpy as _np
 
@@ -95,32 +101,38 @@ class SyntheticProvider:
             }
         else:
             raise ValueError("unknown corpus source {!r}".format(source))
-        if hard_negatives is not None and len(hard_negatives):
+        def _append_mined(bundle, patches, label):
             top = max(sizes)
-            hn = _np.asarray(hard_negatives, _np.uint8)
-            if hn.shape[1] != top:
+            mined = _np.asarray(patches, _np.uint8)
+            if mined.shape[1] != top:
                 raise ValueError(
-                    "hard negatives must be at the top stage resolution "
-                    "({}), got {}".format(top, hn.shape[1])
+                    "mined patches must be at the top stage resolution "
+                    "({}), got {}".format(top, mined.shape[1])
                 )
-            views = {top: hn}
+            views = {top: mined}
             for s in sizes:
                 if s == top:
                     continue
                 factor = top // s
-                down = hn.reshape(len(hn), s, factor, s, factor, 3).mean(
+                down = mined.reshape(len(mined), s, factor, s, factor, 3).mean(
                     axis=(2, 4)
                 )
                 views[s] = _np.clip(_np.round(down), 0, 255).astype(_np.uint8)
-            bundle = {
+            return {
                 "labels": _np.concatenate(
-                    [bundle["labels"], _np.zeros(len(hn), _np.int32)]
+                    [bundle["labels"],
+                     _np.full(len(mined), label, _np.int32)]
                 ),
                 "images": {
                     s: _np.concatenate([imgs, views[s]])
                     for s, imgs in bundle["images"].items()
                 },
             }
+
+        if hard_negatives is not None and len(hard_negatives):
+            bundle = _append_mined(bundle, hard_negatives, 0)
+        if hard_positives is not None and len(hard_positives):
+            bundle = _append_mined(bundle, hard_positives, 1)
         n = len(bundle["labels"])
         perm = deterministic_shuffle(n, cf.get("shuffle_seed"))
         self._labels = bundle["labels"][perm]

@@ -193,14 +193,15 @@ _CONF_MODE_SHORT = {
 }
 
 
-def _pixel_borderline_ids(image, model, o, extraction_mode):
+def _pixel_borderline_ids(image, model, o, extraction_mode,
+                          img_h=IMG_H, img_w=IMG_W, wsf=WSF):
     """Window ids whose oracle pixels differ from the device extraction —
     uint8 rounding ties between two float implementations; their
     classification flips are not semantic drift. Also asserts pixel
     agreement is within one gray level (same taps by construction)."""
     import jax.numpy as jnp
 
-    plan = pyramid.build_plan(IMG_H, IMG_W, 12, 12, MWL, WSF)
+    plan = pyramid.build_plan(img_h, img_w, 12, 12, MWL, wsf)
     table = pyramid.window_table(plan)
     flagged = set()
 
@@ -222,7 +223,7 @@ def _pixel_borderline_ids(image, model, o, extraction_mode):
     cache = {}
     for k, w in enumerate(o.windows):
         if w.scale not in cache:
-            sh, sw = int(IMG_H * w.scale), int(IMG_W * w.scale)
+            sh, sw = int(img_h * w.scale), int(img_w * w.scale)
             if w.scale == 1.0:
                 cache[w.scale] = image_f
             else:
@@ -265,7 +266,9 @@ def _pixel_borderline_ids(image, model, o, extraction_mode):
     return flagged
 
 
-def _parity_sweep(model, params_np, scene_groups):
+def _parity_sweep(model, params_np, scene_groups, img_h=IMG_H, img_w=IMG_W,
+                  wsf=WSF, capacity_schedule=None, compaction=None,
+                  min_face=20, max_face=60):
     """Run the device-vs-oracle parity machinery over ``scene_groups`` and
     return (n_scenes, exact_scenes, total_survivors, total_detections,
     total_mismatched)."""
@@ -274,17 +277,26 @@ def _parity_sweep(model, params_np, scene_groups):
     total_survivors = 0
     total_detections = 0
     total_mismatched = 0
-    plan = pyramid.build_plan(IMG_H, IMG_W, 12, 12, MWL, WSF)
+    plan = pyramid.build_plan(img_h, img_w, 12, 12, MWL, wsf)
 
     for mode, conf_mode, mn, enlarge, thr, seeds in scene_groups:
         _inference_config(mode, conf_mode, mn, enlarge, thr)
+        cf.set("window_scale_factor", wsf)
+        if compaction is not None:
+            cf.set("cascade_compaction", compaction)
         thresholds = casc.resolve_thresholds(model.n_nets)
         detector = casc.CascadeDetector(
-            model, capacity_schedule=[plan.n_windows] * (model.n_nets - 1)
+            model,
+            capacity_schedule=(
+                capacity_schedule
+                if capacity_schedule is not None
+                else [plan.n_windows] * (model.n_nets - 1)
+            ),
         )
         for seed in seeds:
             scene = synthetic.make_scene(
-                IMG_H, IMG_W, n_faces=1 + seed % 2, seed=seed, min_face=20, max_face=60
+                img_h, img_w, n_faces=1 + seed % 2, seed=seed,
+                min_face=min_face, max_face=max_face,
             )
             res = detector.detect(scene.image)
             o = oracle.run_reference_cascade(
@@ -296,7 +308,7 @@ def _parity_sweep(model, params_np, scene_groups):
                 thresholds=thresholds,
                 confidence_mode=_CONF_MODE_SHORT[conf_mode],
                 min_window_length=MWL,
-                window_scale_factor=WSF,
+                window_scale_factor=wsf,
                 nms_min_neighbors=mn,
                 vertically_enlarge=enlarge,
                 antialias_pyramid=(mode == "gather"),
@@ -318,7 +330,9 @@ def _parity_sweep(model, params_np, scene_groups):
                     for wid, p in probs.items()
                     if abs(p - thresholds[stage]) < PROB_TOL
                 }
-                borderline |= _pixel_borderline_ids(scene.image, model, o, mode)
+                borderline |= _pixel_borderline_ids(
+                    scene.image, model, o, mode, img_h, img_w, wsf
+                )
                 assert mismatched <= borderline, (
                     "non-borderline survivor drift (mode={}, conf={}, seed={}): "
                     "{}".format(mode, conf_mode, seed, sorted(mismatched - borderline)[:10])
@@ -429,3 +443,39 @@ def test_detections_match_reference_oracle_3stage(trained3):
         total_mismatched, total_survivors,
     )
     assert exact_scenes >= n_scenes // 2, (exact_scenes, n_scenes)
+
+
+def test_detections_match_reference_oracle_dense(trained):
+    """The FDDB-density regime (VERDICT r3 item 3): one 450x450 scene at
+    wsf 1.01 — 66,918 windows, 261 pyramid levels, within 2x of the FDDB
+    harness's window count (450x450 @ 1.005 = 131,903) — through the parity
+    machinery with the machinery the dense regime actually uses: crop-mode
+    chunked extraction, scan compaction, and a REAL fixed-capacity schedule
+    (default_capacity_schedule, not the no-truncation escape hatch the toy
+    cases use). Oracle survivor-set/confidence/NMS parity as everywhere
+    else. Chunked device programs + a chunked numpy oracle keep CPU wall
+    time at a few minutes."""
+    model, params_np = trained
+    wsf, img = 1.01, 450
+    plan = pyramid.build_plan(img, img, 12, 12, MWL, wsf)
+    assert plan.n_windows > 60_000  # the dense regime, not a toy case
+    caps = casc.default_capacity_schedule(plan.n_windows, model.n_nets)
+
+    groups = [
+        ("crop", "FINAL_CONFIDENCE_CALCULATION_LAST_STEP", 1, True, 0.5, [7]),
+    ]
+    n_scenes, exact_scenes, total_survivors, total_detections, total_mismatched = (
+        _parity_sweep(
+            model, params_np, groups, img_h=img, img_w=img, wsf=wsf,
+            capacity_schedule=caps, compaction="scan",
+            min_face=60, max_face=150,
+        )
+    )
+    assert n_scenes == 1
+    # non-vacuous at density: the survivor population must be dense-regime
+    # sized and truncation must not have occurred (parity would be undefined)
+    assert total_survivors > 200, total_survivors
+    assert total_detections >= 1, total_detections
+    assert total_mismatched <= max(4, int(0.02 * total_survivors)), (
+        total_mismatched, total_survivors,
+    )

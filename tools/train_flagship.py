@@ -55,7 +55,7 @@ def apply_recorded_overrides(cf):
     architecture/recipe the recorded eval numbers describe — not the base
     recipe. Returns a recipe dict: hard-negative replication count plus any
     recorded corpus/epoch/seed parameters (underscore keys)."""
-    recipe = {"hard_negatives": 0}
+    recipe = {"hard_negatives": 0, "hard_positives": 0}
     path = os.path.join(ARTIFACT_DIR, "flagship_overrides.json")
     if os.path.exists(path):
         with open(path) as f:
@@ -63,6 +63,8 @@ def apply_recorded_overrides(cf):
         for k, v in overrides.items():
             if k == "_hard_negatives":
                 recipe["hard_negatives"] = int(v)
+            elif k == "_hard_positives":
+                recipe["hard_positives"] = int(v)
             elif k in ("_n_pos", "_n_neg", "_seed"):
                 recipe[k[1:]] = int(v)
             elif k == "_epochs":
@@ -106,6 +108,18 @@ def train_flagship(n_pos=3000, n_neg=24000, seed=0):
             print("WARNING: recorded recipe wants hard negatives but "
                   "artifacts/hard_negatives.npz is absent "
                   "(tools/mine_hard_negatives.py) — training without them")
+    hp_rep = recipe["hard_positives"]
+    hard_pos = None
+    if hp_rep:
+        hp_path = os.path.join(ARTIFACT_DIR, "hard_positives.npz")
+        if os.path.exists(hp_path):
+            with np.load(hp_path) as z:
+                hard_pos = np.repeat(z["images"], hp_rep, axis=0)
+            print(f"{len(hard_pos)} hard-positive samples (x{hp_rep} replication)")
+        else:
+            print("WARNING: recorded recipe wants hard positives but "
+                  "artifacts/hard_positives.npz is absent "
+                  "(tools/mine_hard_positives.py) — training without them")
     from rapidobjectdetectionusingcascadedcnns_tpu.models.cnn import (
         stage_input_sizes,
     )
@@ -116,7 +130,8 @@ def train_flagship(n_pos=3000, n_neg=24000, seed=0):
     # teach stage 0 to reject actual pyramid windows (measured: stage-0
     # survivor rate 35% -> ~5% vs the patches-only corpus)
     provider = ct.SyntheticProvider(
-        n_pos, n_neg, sizes, seed=seed, source="mixed", hard_negatives=hard
+        n_pos, n_neg, sizes, seed=seed, source="mixed", hard_negatives=hard,
+        hard_positives=hard_pos,
     )
     trainer = ct.CascadeTrainer(provider, seed=seed)
     t0 = time.time()
