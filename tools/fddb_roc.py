@@ -34,6 +34,13 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--corpus-dir", default=None,
                     help="reuse an existing synthetic corpus directory")
+    ap.add_argument("--reference-default", action="store_true",
+                    help="reference-default inference config: scalar "
+                         "threshold 0.5 on every stage, NO resize bucketing "
+                         "(exact per-size pyramid geometry, config.py:64-73 "
+                         "defaults); writes fddb_roc_default.json so the "
+                         "tuned artifact's config contribution is "
+                         "attributable (VERDICT r3 item 9)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -86,16 +93,22 @@ def main():
     # stages run at the flagship's SHIPPED operating threshold (from the
     # promoted eval artifact; reference default 0.5 otherwise) and the last
     # stage at a low 0.2 so weak candidates reach the output with scores
-    ship_thr = 0.5
-    eval_json = os.path.join(ARTIFACT_DIR, "flagship_eval.json")
-    if os.path.exists(eval_json):
-        with open(eval_json) as f:
-            ship_thr = float(json.load(f).get("threshold", ship_thr))
-    n_nets = cf.get("cascade_n_nets")
-    cf.set(
-        "foreground_confidence_threshold",
-        [ship_thr] * (n_nets - 1) + [min(ship_thr, 0.2)],
-    )
+    if args.reference_default:
+        # the reference's own defaults: one scalar threshold for every
+        # stage (config.py:64-73), exact per-size pyramid geometry
+        cf.set("foreground_confidence_threshold", 0.5)
+        cf.set("fddb_resize_buckets", None)
+    else:
+        ship_thr = 0.5
+        eval_json = os.path.join(ARTIFACT_DIR, "flagship_eval.json")
+        if os.path.exists(eval_json):
+            with open(eval_json) as f:
+                ship_thr = float(json.load(f).get("threshold", ship_thr))
+        n_nets = cf.get("cascade_n_nets")
+        cf.set(
+            "foreground_confidence_threshold",
+            [ship_thr] * (n_nets - 1) + [min(ship_thr, 0.2)],
+        )
 
     from rapidobjectdetectionusingcascadedcnns_tpu.apps.evaluate_fddb import (
         EvaluateFDDBApp,
@@ -120,7 +133,10 @@ def main():
         "corpus": "synthetic (data/fddb.make_synthetic_corpus; real FDDB "
                   "absent from this environment)",
     }
-    dst = os.path.join(ARTIFACT_DIR, "fddb_roc.json")
+    dst = os.path.join(
+        ARTIFACT_DIR,
+        "fddb_roc_default.json" if args.reference_default else "fddb_roc.json",
+    )
     with open(dst, "w") as f:
         json.dump(roc, f, indent=1)
     print("wrote", dst)
