@@ -55,8 +55,9 @@ def test_flagship_eval_miss_accounting_is_consistent():
     misses = d.get("misses", [])
     assert len(misses) == round((1 - d["recall"]) * d["n_faces"])
     # the recorded narrative must match the artifact: a miss is
-    # grid-limited only if the pyramid cannot cover it
-    grid_limited = sum(1 for m in misses if m["grid_ceiling_iou"] < 0.5)
+    # grid-limited only if the pyramid cannot cover it (the tool's
+    # definition, tools/train_flagship.py evaluate_on_scenes)
+    grid_limited = sum(1 for m in misses if m["grid_ceiling_iou"] <= 0.3)
     assert grid_limited == d["misses_grid_limited"]
 
 

@@ -304,8 +304,28 @@ def main():
         flagship_config(cf)
         print("loaded cached flagship artifact")
 
-    stats = evaluate_on_scenes(model)
-    print(json.dumps(stats, indent=2))
+    # shipped operating point: recall-first subject to the FP budget
+    # (<= 0.2 FP/scene), swept over thresholds — evaluating ONLY at the
+    # reference-default 0.5 made regenerated artifacts drift from the
+    # documented operating point whenever the curve moved (ADVICE r3)
+    FP_BUDGET = 0.2
+    best = None
+    for thr in (0.5, 0.4, 0.3):
+        stats = evaluate_on_scenes(model, threshold=thr)
+        print("thr {}: recall {} @ {} FP/scene".format(
+            thr, stats["recall"], stats["false_pos_per_scene"]))
+        if stats["false_pos_per_scene"] <= FP_BUDGET and (
+            best is None
+            or (stats["recall"], -stats["false_pos_per_scene"])
+            > (best["recall"], -best["false_pos_per_scene"])
+        ):
+            best = stats
+    stats = best if best is not None else evaluate_on_scenes(model)
+    stats["operating_point_policy"] = (
+        "max recall s.t. false_pos_per_scene <= {} over thresholds "
+        "(0.5, 0.4, 0.3)".format(FP_BUDGET)
+    )
+    print(json.dumps({k: v for k, v in stats.items() if k != "misses"}, indent=2))
     with open(os.path.join(ARTIFACT_DIR, "flagship_eval.json"), "w") as f:
         json.dump(stats, f, indent=2)
 
