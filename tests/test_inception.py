@@ -76,3 +76,49 @@ def test_cascade_sizes_with_append_inception():
     trainer = CascadeTrainer(SyntheticProvider(4, 4, [12, 24], seed=0))
     assert trainer.n_nets == 3
     assert trainer.sizes == [12, 24, 299]
+
+
+def test_frozen_trunk_trains_head_on_embeddings(tmp_path):
+    """The compact-trunk flavor of the frozen pretrained workflow: with
+    inception_weights_path set, the trainer embeds every split ONCE through
+    the trunk (splits become (N, 2048) float32), trains only the head
+    (trunk leaves bit-identical after training), and force-disables online
+    augmentation for the stage."""
+    import numpy as np
+
+    from rapidobjectdetectionusingcascadedcnns_tpu.train import checkpoint
+    from rapidobjectdetectionusingcascadedcnns_tpu.train.cascade_trainer import (
+        SyntheticProvider,
+    )
+    from rapidobjectdetectionusingcascadedcnns_tpu.train.trainer import (
+        SingleNetTrainer,
+    )
+
+    backbone = inception.init_backbone(jax.random.PRNGKey(7))
+    path = str(tmp_path / "trunk.npz")
+    np.savez(path, **checkpoint._flatten(backbone))
+
+    cf.set("inception_weights_path", path)
+    cf.set("epochs_total", 1)
+    cf.set("batch_size", 8)
+    cf.set("n_max_constant_evals", None)
+    cf.set("data_augmentation_online", True)  # must be force-disabled
+    ds = SyntheticProvider(4, 8, [299], seed=1).dataset(299)
+    trainer = SingleNetTrainer(ds, f_beta=None, seed=0, use_inception=True)
+    assert trainer._frozen_trunk
+    assert trainer.ds.train.images.ndim == 2
+    assert trainer.ds.train.images.shape[1] == inception.BOTTLENECK_TENSOR_SIZE
+    trainer.train()
+    assert int(trainer.state.step) >= 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves(backbone),
+        jax.tree_util.tree_leaves(trainer.state.params["backbone"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # predict consumes the embedded split through apply_stage's 2D path
+    res = trainer.evaluate_split(trainer.ds.test)
+    total = sum(
+        res[k] for k in ("true_positives", "false_positives",
+                         "true_negatives", "false_negatives")
+    )
+    assert total == trainer.ds.test.n_samples
