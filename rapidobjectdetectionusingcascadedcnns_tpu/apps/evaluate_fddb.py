@@ -55,6 +55,14 @@ class EvaluateFDDBApp(BaseApp):
 
     def _main(self):
         log.log("Running inference on the FDDB dataset")
+        if cf.get("inference_resize_buckets") == "auto":
+            buckets = fddb.derive_resize_buckets(self.n_folds)
+            cf.set("inference_resize_buckets", buckets)
+            log.log(
+                "derived {} resize buckets from the corpus: {}".format(
+                    len(buckets), buckets
+                )
+            )
         app = InferenceCascadeApp(model=self._model)
 
         for fold_nr in range(1, self.n_folds + 1):

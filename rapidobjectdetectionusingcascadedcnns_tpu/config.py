@@ -120,10 +120,13 @@ def _build_defaults() -> Dict[str, Any]:
     # follows cascade_saturation_redispatch.
     cf["cascade_compaction"] = "auto"  # auto | rank | scan
     cf["nms_on_device"] = False  # run groupRectangles inside the program
-    cf["inference_resize_buckets"] = None  # [(h, w), ...] or None (exact)
-    # FDDB corpora mix hundreds of image sizes; these buckets bound the
-    # number of compiled cascade programs for the dense-pyramid evaluation
-    cf["fddb_resize_buckets"] = [(450, 450), (350, 450), (450, 350), (300, 400)]
+    cf["inference_resize_buckets"] = None  # [(h, w), ...], "auto", or None
+    # FDDB corpora mix hundreds of image sizes; buckets bound the number of
+    # compiled cascade programs for the dense-pyramid evaluation. "auto"
+    # derives them from the corpus (k most common sizes — exact geometry for
+    # the dominant sizes; data/fddb.derive_resize_buckets): round 4 measured
+    # a static off-corpus list costing 0.06 detection rate.
+    cf["fddb_resize_buckets"] = "auto"
     cf["compute_dtype"] = "bfloat16"  # matmul/conv dtype on TPU
 
     # ----- training (reference config.py:124-237) -----

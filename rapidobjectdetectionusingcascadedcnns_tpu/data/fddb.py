@@ -47,6 +47,34 @@ def image_infos_for_fold(fold_nr: int) -> List[ImageInfo]:
     return infos
 
 
+def derive_resize_buckets(n_folds: int, k: int = 6) -> List[tuple]:
+    """Derive resize buckets from the corpus itself: the ``k`` most common
+    image sizes across the folds (PIL header reads — no pixel decode).
+
+    Round 4 measured the static bucket list costing detection rate when the
+    corpus' sizes don't land on it (0.944 exact vs 0.883 bucketed on the
+    synthetic corpus with the hard-positive-mined flagship): resizing to an
+    off-size bucket perturbs pyramid geometry for every face in the image.
+    Corpus-derived buckets make the dominant sizes EXACT while still
+    bounding compiled-program count; only tail sizes get resized to their
+    log-nearest bucket (models/cascade.detect_batch mapping)."""
+    from collections import Counter
+
+    from PIL import Image
+
+    counts: Counter = Counter()
+    for fold_nr in range(1, n_folds + 1):
+        for rel in read_fold(fold_nr):
+            path = os.path.join(cf.get("fddb_img_base_dir"), rel + ".jpg")
+            try:
+                with Image.open(path) as im:
+                    w, h = im.size
+            except OSError:
+                continue
+            counts[(h, w)] += 1
+    return [size for size, _n in counts.most_common(k)]
+
+
 def image_key(image_path: str) -> str:
     key = image_path.replace(cf.get("fddb_img_base_dir"), "").replace(".jpg", "")
     return key[1:] if key.startswith("/") else key

@@ -99,16 +99,22 @@ def main():
         cf.set("foreground_confidence_threshold", 0.5)
         cf.set("fddb_resize_buckets", None)
     else:
+        # the shipped scalar operating threshold. (Round 4 measured the old
+        # [ship, ship, 0.2] last-stage lowering REGRESSING the whole curve
+        # with the hard-positive-mined weights: the 0.2-threshold flood of
+        # weak survivors merges groupRectangles clusters off-target, and the
+        # bucketed run dropped 0.944 -> 0.822 detection rate while the
+        # bucketing-delta diagnostic at a scalar 0.5 showed recall_delta 0.0
+        # — the threshold pattern, not bucketing, was the cause. The
+        # reference exports at its configured threshold and lets the
+        # official evaluator sweep the recorded scores, which is what the
+        # scalar does.)
         ship_thr = 0.5
         eval_json = os.path.join(ARTIFACT_DIR, "flagship_eval.json")
         if os.path.exists(eval_json):
             with open(eval_json) as f:
                 ship_thr = float(json.load(f).get("threshold", ship_thr))
-        n_nets = cf.get("cascade_n_nets")
-        cf.set(
-            "foreground_confidence_threshold",
-            [ship_thr] * (n_nets - 1) + [min(ship_thr, 0.2)],
-        )
+        cf.set("foreground_confidence_threshold", ship_thr)
 
     from rapidobjectdetectionusingcascadedcnns_tpu.apps.evaluate_fddb import (
         EvaluateFDDBApp,
