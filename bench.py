@@ -34,11 +34,68 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
+# Generous deadline for the liveness probe: a cold probe pays jax import +
+# backend init + one tiny compile (~20-40 s normally; minutes when the
+# remote-compile service is cold). Only a genuinely dead tunnel exceeds it.
+PROBE_DEADLINE_S = int(os.environ.get("RODC_BENCH_PROBE_DEADLINE_S", "600"))
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = (jnp.ones((8, 8)) @ jnp.ones((8, 8)));"
+    "print('probe-ok', jax.devices()[0].platform, float(x[0, 0]))"
+)
+
+
+def _backend_alive() -> bool:
+    """Probe the accelerator in a SUBPROCESS with a hard deadline.
+
+    The environment's TPU is reached through a stdio relay tunnel; when the
+    remote side wedges, ``jax.devices()`` blocks forever inside a C call that
+    no signal/thread can interrupt from within the process. Probing from a
+    child process keeps the deadline enforceable: if the tunnel is dead the
+    bench emits one explicit error JSON line and exits nonzero instead of
+    hanging for the driver's whole bench window (observed live: relay wedge
+    of 2026-08-19, ``jax.devices()`` blocked >45 min)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            timeout=PROBE_DEADLINE_S,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    alive = proc.returncode == 0 and b"probe-ok" in proc.stdout
+    if not alive:
+        sys.stderr.write(proc.stdout.decode(errors="replace")[-2000:] + "\n")
+    return alive
+
 
 def main() -> None:
+    if os.environ.get("RODC_BENCH_NO_PROBE") != "1" and not _backend_alive():
+        sys.stderr.write(
+            "FATAL: accelerator backend unreachable within {}s — the TPU "
+            "tunnel is down; refusing to hang.\n".format(PROBE_DEADLINE_S)
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "vga_frames_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "frames/sec/chip",
+                    "vs_baseline": 0.0,
+                    "error": "backend unreachable (tunnel down) after {}s probe".format(
+                        PROBE_DEADLINE_S
+                    ),
+                }
+            )
+        )
+        raise SystemExit(1)
+
     import jax
 
     cache_dir = os.environ.get("RODC_JIT_CACHE", "/tmp/rodc_jit_cache")
