@@ -107,3 +107,129 @@ def test_cross_platform_check_artifact():
     d = _load("cross_platform_check.json")
     assert d["ok"], d.get("mismatch_scenes")
     assert set(d["platforms"]) == {"tpu", "cpu"}
+    # every tolerated cross-platform flip must carry window-level evidence of
+    # the borderline-patch mechanism (tools/cross_platform_bundle.py): the
+    # cluster is explained by survivor windows present on one side only, all
+    # within conf_eps of the decision threshold, with too few shared windows
+    # to have formed the cluster alone
+    assert d["borderline_flip_weight"] == d["nms_min_neighbors"] + 1
+    for flip in d["tolerated_flips"]:
+        assert flip["side"] in ("tpu", "cpu")
+        ev = flip.get("evidence")
+        if ev is None:
+            assert flip["confidence"] <= d["borderline_flip_weight"], flip
+            continue
+        assert ev["borderline"], flip
+        assert ev["flipped_windows"], flip
+        assert ev["n_shared"] <= d["nms_min_neighbors"], flip
+        for w in ev["flipped_windows"]:
+            assert w["conf"] <= ev["threshold"] + ev["conf_eps"], flip
+    # borderline flips should be rare relative to the matched detections
+    total = sum(d["n_detections_per_scene_tpu"])
+    assert len(d["tolerated_flips"]) <= max(1, total // 4), d["tolerated_flips"]
+
+
+def test_cross_platform_compare_logic():
+    """Unit-test the borderline-flip comparison used by the cross-platform
+    bundle check (tools/cross_platform_bundle.py)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(ARTIFACT_DIR), "tools"))
+    try:
+        from cross_platform_bundle import compare_detections
+    finally:
+        sys.path.pop(0)
+
+    # same set, different NMS order -> ok, no flips
+    a = [{"boxes": [[0, 0, 10, 10], [20, 20, 30, 30]], "confidences": [5, 2]}]
+    b = [{"boxes": [[20, 20, 30, 30], [0, 0, 10, 10]], "confidences": [2, 5]}]
+    r = compare_detections(a, b, nms_min_neighbors=1)
+    assert r["ok"] and not r["tolerated_flips"]
+
+    # no raw data: strict single-flip fallback — weight-2 extra
+    # (== min_neighbors + 1) on either side -> tolerated flip
+    a = [{"boxes": [[0, 0, 10, 10], [50, 50, 60, 60]], "confidences": [5, 2]}]
+    b = [{"boxes": [[0, 0, 10, 10]], "confidences": [5]}]
+    r = compare_detections(a, b, nms_min_neighbors=1)
+    assert r["ok"] and [f["side"] for f in r["tolerated_flips"]] == ["tpu"]
+    r = compare_detections(b, a, nms_min_neighbors=1)
+    assert r["ok"] and [f["side"] for f in r["tolerated_flips"]] == ["cpu"]
+
+    # no raw data: a solid (weight-4) extra is NOT tolerable -> mismatch
+    a = [{"boxes": [[0, 0, 10, 10], [50, 50, 60, 60]], "confidences": [5, 4]}]
+    r = compare_detections(a, b, nms_min_neighbors=1)
+    assert not r["ok"] and r["mismatch_scenes"][0]["hard_extras"]
+
+    # with raw survivor data: a weight-4 extra cluster IS tolerated when the
+    # window-level evidence proves the borderline-patch mechanism — all its
+    # windows exist only on one side, every one within conf_eps of the
+    # threshold (a correlated near-threshold patch flipping whole)
+    def scene(ids, confs, boxes, dets, weights):
+        return {
+            "boxes": dets,
+            "confidences": weights,
+            "raw_ids": ids,
+            "raw_confs": confs,
+            "raw_boxes": boxes,
+        }
+
+    anchor_ids = [1, 2]
+    anchor_boxes = [[0, 0, 10, 10], [1, 0, 11, 10]]
+    anchor_confs = [0.9, 0.8]
+    flip_ids = [100, 101, 102, 103]
+    flip_boxes = [
+        [50, 50, 60, 60],
+        [51, 50, 61, 60],
+        [50, 51, 60, 61],
+        [49, 50, 59, 60],
+    ]
+    near = [0.31, 0.305, 0.32, 0.301]  # threshold 0.3, eps 0.05
+    a = [
+        scene(
+            anchor_ids + flip_ids,
+            anchor_confs + near,
+            anchor_boxes + flip_boxes,
+            [[0, 0, 10, 10], [50, 50, 60, 60]],
+            [2, 4],
+        )
+    ]
+    b = [scene(anchor_ids, anchor_confs, anchor_boxes, [[0, 0, 10, 10]], [2])]
+    r = compare_detections(a, b, nms_min_neighbors=1, threshold=0.3)
+    assert r["ok"], r
+    (flip,) = r["tolerated_flips"]
+    assert flip["evidence"]["borderline"]
+    assert len(flip["evidence"]["flipped_windows"]) == 4
+    assert flip["evidence"]["n_shared"] == 0
+
+    # one cluster member far above threshold -> NOT a borderline patch
+    a_hot = [
+        scene(
+            anchor_ids + flip_ids,
+            anchor_confs + [0.31, 0.305, 0.75, 0.301],
+            anchor_boxes + flip_boxes,
+            [[0, 0, 10, 10], [50, 50, 60, 60]],
+            [2, 4],
+        )
+    ]
+    r = compare_detections(a_hot, b, nms_min_neighbors=1, threshold=0.3)
+    assert not r["ok"] and r["mismatch_scenes"][0]["hard_extras"]
+
+    # enough shared windows to have formed the cluster on both sides -> the
+    # divergence is NOT explained by threshold flips -> mismatch
+    b_shared = [
+        scene(
+            anchor_ids + flip_ids[:2],
+            anchor_confs + near[:2],
+            anchor_boxes + flip_boxes[:2],
+            [[0, 0, 10, 10]],
+            [2],
+        )
+    ]
+    r = compare_detections(a, b_shared, nms_min_neighbors=1, threshold=0.3)
+    assert not r["ok"] and r["mismatch_scenes"][0]["hard_extras"]
+
+    # matched-box drift past 1 px -> mismatch
+    a = [{"boxes": [[0, 0, 10, 10]], "confidences": [5]}]
+    b = [{"boxes": [[0, 0, 10, 13]], "confidences": [5]}]
+    r = compare_detections(a, b, nms_min_neighbors=1)
+    assert not r["ok"]
