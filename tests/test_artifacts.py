@@ -120,10 +120,19 @@ def test_cross_platform_check_artifact():
             assert flip["confidence"] <= d["borderline_flip_weight"], flip
             continue
         assert ev["borderline"], flip
-        assert ev["flipped_windows"], flip
-        assert ev["n_shared"] <= d["nms_min_neighbors"], flip
-        for w in ev["flipped_windows"]:
-            assert w["conf"] <= ev["threshold"] + ev["conf_eps"], flip
+        if ev.get("mechanism") == "topology_flip":
+            # borderline survivor flips elsewhere in the scene changed the
+            # clustering topology; the host NMS replay must reproduce both
+            # sides' outputs from their own pre-NMS survivor sets
+            assert ev["scene_flips"], flip
+            for w in ev["scene_flips"]:
+                assert w["conf"] <= ev["threshold"] + ev["conf_eps"], flip
+            assert ev["replay_a"]["ok"] and ev["replay_b"]["ok"], flip
+        else:
+            assert ev["flipped_windows"], flip
+            assert ev["n_shared"] <= d["nms_min_neighbors"], flip
+            for w in ev["flipped_windows"]:
+                assert w["conf"] <= ev["threshold"] + ev["conf_eps"], flip
     # borderline flips should be rare relative to the matched detections
     total = sum(d["n_detections_per_scene_tpu"])
     assert len(d["tolerated_flips"]) <= max(1, total // 4), d["tolerated_flips"]
@@ -232,4 +241,85 @@ def test_cross_platform_compare_logic():
     a = [{"boxes": [[0, 0, 10, 10]], "confidences": [5]}]
     b = [{"boxes": [[0, 0, 10, 13]], "confidences": [5]}]
     r = compare_detections(a, b, nms_min_neighbors=1)
+    assert not r["ok"]
+
+
+def test_cross_platform_topology_flip():
+    """A borderline BRIDGE window present on one side only changes the NMS
+    clustering topology: with it, five small windows form one weight-5
+    cluster (kept); without it, they split into two weight-2 clusters that
+    groupRectangles phase 2 deletes (n1 < 3, contained in the big face
+    cluster). All the extra cluster's members are shared across sides, so the
+    per-cluster analysis can't explain it — the scene-level replay must."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(ARTIFACT_DIR), "tools"))
+    try:
+        from cross_platform_bundle import compare_detections
+    finally:
+        sys.path.pop(0)
+
+    import numpy as np
+
+    from rapidobjectdetectionusingcascadedcnns_tpu import serve
+
+    face = [[40.0, 40.0, 90.0, 90.0]] * 4  # big solid cluster, both sides
+    small = [
+        [55.0, 55.0, 65.0, 65.0],
+        [56.0, 55.0, 66.0, 65.0],
+        [59.0, 55.0, 69.0, 65.0],
+        [60.0, 55.0, 70.0, 65.0],
+    ]
+    bridge = [57.0, 55.0, 67.0, 65.0]  # links small[1] <-> small[2]
+    ids_face = [1, 2, 3, 4]
+    ids_small = [10, 11, 12, 13]
+    id_bridge = 20
+    conf_face = [0.9] * 4
+    conf_small = [0.8, 0.8, 0.8, 0.8]
+    conf_bridge = 0.31  # threshold 0.3, eps 0.05 -> borderline
+
+    def side(with_bridge):
+        raw_boxes = face + small + ([bridge] if with_bridge else [])
+        raw_ids = ids_face + ids_small + ([id_bridge] if with_bridge else [])
+        raw_confs = conf_face + conf_small + ([conf_bridge] if with_bridge else [])
+        boxes, weights = serve.postprocess_raw(
+            np.asarray(raw_boxes),
+            np.asarray(raw_confs),
+            nms_mode="NMS_OPENCV",
+            nms_min_neighbors=1,
+            vertically_enlarge=False,
+        )
+        return {
+            "boxes": boxes.tolist(),
+            "confidences": weights.tolist(),
+            "raw_ids": raw_ids,
+            "raw_confs": raw_confs,
+            "raw_boxes": raw_boxes,
+        }
+
+    with_b, without_b = side(True), side(False)
+    # fixture premise: the bridge makes a second (weight-5) detection appear
+    assert len(with_b["boxes"]) == 2, with_b
+    assert len(without_b["boxes"]) == 1, without_b
+
+    r = compare_detections([with_b], [without_b], nms_min_neighbors=1, threshold=0.3)
+    assert r["ok"], r
+    (flip,) = r["tolerated_flips"]
+    ev = flip["evidence"]
+    assert ev["mechanism"] == "topology_flip"
+    assert [f["window_id"] for f in ev["scene_flips"]] == [id_bridge]
+    assert ev["replay_a"]["ok"] and ev["replay_b"]["ok"]
+
+    # a solid (non-borderline) bridge is NOT tolerable
+    hot = side(True)
+    hot["raw_confs"][-1] = 0.75
+    r = compare_detections([hot], [without_b], nms_min_neighbors=1, threshold=0.3)
+    assert not r["ok"] and r["mismatch_scenes"][0]["hard_extras"]
+
+    # replay failure (reported output inconsistent with the raw set) is a
+    # hard mismatch even when the flips are borderline: NMS drift, not a
+    # pre-NMS threshold flip
+    bad = side(False)
+    bad["boxes"], bad["confidences"] = [], []
+    r = compare_detections([with_b], [bad], nms_min_neighbors=1, threshold=0.3)
     assert not r["ok"]

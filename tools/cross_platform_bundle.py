@@ -144,8 +144,99 @@ def _analyze_extra(extra, present, absent, nms_min_neighbors, threshold, conf_ep
     }
 
 
+def _replay_side(side, nms_mode, nms_min_neighbors, vertically_enlarge):
+    """Re-run the shared host postprocessing (serve.postprocess_raw) on one
+    side's pre-NMS survivor set and check it reproduces that side's reported
+    detections (order-insensitive). Validates that the divergence entered
+    BEFORE NMS (survivor-set flips), not inside it."""
+    import numpy as np
+
+    from rapidobjectdetectionusingcascadedcnns_tpu import serve
+
+    raw_boxes = np.asarray(side["raw_boxes"], float).reshape(-1, 4)
+    raw_confs = np.asarray(side["raw_confs"], float)
+    boxes, confs = serve.postprocess_raw(
+        raw_boxes,
+        raw_confs,
+        nms_mode=nms_mode,
+        nms_min_neighbors=nms_min_neighbors,
+        vertically_enlarge=vertically_enlarge,
+    )
+    rep_boxes = np.asarray(side["boxes"], float).reshape(-1, 4)
+    rep_confs = np.asarray(side["confidences"], float)
+    if len(boxes) != len(rep_boxes):
+        return {"ok": False, "n_replay": int(len(boxes)), "n_reported": int(len(rep_boxes))}
+    worst = 0.0
+    unused = list(range(len(boxes)))
+    for j in range(len(rep_boxes)):
+        dists = [
+            max(
+                float(np.abs(rep_boxes[j] - boxes[k]).max()),
+                float(abs(rep_confs[j] - confs[k])),
+            )
+            for k in unused
+        ]
+        pick = int(np.argmin(dists))
+        worst = max(worst, dists[pick])
+        unused.pop(pick)
+    return {"ok": worst <= 1e-3, "max_delta": worst}
+
+
+def _analyze_scene(a, b, nms_min_neighbors, threshold, conf_eps, nms_mode, vertically_enlarge):
+    """Scene-level evidence for a cluster-topology divergence.
+
+    The per-cluster analysis (:func:`_analyze_extra`) only sees windows
+    similar to the unmatched cluster itself — but borderline survivor flips
+    *elsewhere* in the scene can change the clustering topology (a flipped
+    bridging window merges two clusters; a flipped member tips a neighboring
+    cluster over the groupRectangles phase-2 containment size test), moving a
+    detection that shares all its member windows across both platforms.
+
+    This is judged borderline iff (a) the symmetric difference of the two
+    pre-NMS survivor sets is non-empty and every differing window sits within
+    ``conf_eps`` of the decision threshold on the side that kept it, and
+    (b) replaying the production host NMS on each side's own survivor set
+    reproduces that side's reported detections — proving the divergence is
+    entirely pre-NMS threshold flips, not an NMS implementation drift.
+    """
+    a_conf = {int(i): float(c) for i, c in zip(a["raw_ids"], a["raw_confs"])}
+    b_conf = {int(i): float(c) for i, c in zip(b["raw_ids"], b["raw_confs"])}
+    flips = [
+        {"window_id": i, "conf": c, "side": "tpu"}
+        for i, c in a_conf.items()
+        if i not in b_conf
+    ] + [
+        {"window_id": i, "conf": c, "side": "cpu"}
+        for i, c in b_conf.items()
+        if i not in a_conf
+    ]
+    replay_a = _replay_side(a, nms_mode, nms_min_neighbors, vertically_enlarge)
+    replay_b = _replay_side(b, nms_mode, nms_min_neighbors, vertically_enlarge)
+    borderline = (
+        len(flips) > 0
+        and all(f["conf"] <= threshold + conf_eps for f in flips)
+        and replay_a["ok"]
+        and replay_b["ok"]
+    )
+    return {
+        "mechanism": "topology_flip",
+        "scene_flips": flips,
+        "replay_a": replay_a,
+        "replay_b": replay_b,
+        "threshold": threshold,
+        "conf_eps": conf_eps,
+        "borderline": borderline,
+    }
+
+
 def compare_detections(
-    tpu, cpu, nms_min_neighbors: int, threshold: float = None, conf_eps: float = 0.05
+    tpu,
+    cpu,
+    nms_min_neighbors: int,
+    threshold: float = None,
+    conf_eps: float = 0.05,
+    nms_mode: str = "NMS_OPENCV",
+    vertically_enlarge: bool = False,
 ) -> dict:
     """Order-insensitive per-scene comparison with window-level flip analysis.
 
@@ -154,11 +245,14 @@ def compare_detections(
     foreground threshold can flip sides — and because overlapping sliding
     windows share pixels, one borderline patch flips its whole (correlated)
     window cluster at once. An unmatched detection is therefore tolerated
-    only when the pre-NMS survivor sets prove that mechanism
-    (:func:`_analyze_extra`); the evidence is recorded per flip. Without raw
-    survivor data the fallback is the strict single-flip criterion: cluster
-    weight exactly ``min_neighbors + 1``. Matched-box drift past float
-    rounding, or an extra cluster the analysis cannot explain, is a mismatch.
+    only when the pre-NMS survivor sets prove a borderline mechanism — either
+    the cluster's own members flipped (:func:`_analyze_extra`), or borderline
+    flips elsewhere in the scene changed the clustering topology and the host
+    NMS replay reproduces both sides' outputs (:func:`_analyze_scene`); the
+    evidence is recorded per flip. Without raw survivor data the fallback is
+    the strict single-flip criterion: cluster weight exactly
+    ``min_neighbors + 1``. Matched-box drift past float rounding, or an extra
+    cluster neither analysis can explain, is a mismatch.
     """
     import numpy as np
 
@@ -192,6 +286,7 @@ def compare_detections(
         max_conf_delta = max(max_conf_delta, cd)
         hard_extras = []
         has_raw = "raw_ids" in long_ and "raw_ids" in short
+        scene_evidence = None  # computed at most once per scene
         for k in unused:
             extra = {
                 "scene": i,
@@ -204,6 +299,23 @@ def compare_detections(
                     extra, long_, short, nms_min_neighbors, threshold, conf_eps
                 )
                 ok_extra = extra["evidence"]["borderline"]
+                if not ok_extra:
+                    # the cluster's own members don't explain it — check for
+                    # a borderline-driven clustering-topology change anywhere
+                    # in the scene (see _analyze_scene)
+                    if scene_evidence is None:
+                        scene_evidence = _analyze_scene(
+                            a,
+                            b,
+                            nms_min_neighbors,
+                            threshold,
+                            conf_eps,
+                            nms_mode,
+                            vertically_enlarge,
+                        )
+                    if scene_evidence["borderline"]:
+                        extra["evidence"] = scene_evidence
+                        ok_extra = True
             else:
                 ok_extra = lc[k] <= borderline_weight
             if ok_extra:
@@ -319,6 +431,8 @@ def main() -> int:
         cpu,
         nms_min_neighbors=int(cf.get("nms_opencv_min_neighbors")),
         threshold=float(cf.get("foreground_confidence_threshold")),
+        nms_mode=str(cf.get("nms")),
+        vertically_enlarge=bool(cf.get("vertically_enlarge_bboxes")),
     )
 
     record = {
