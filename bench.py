@@ -245,31 +245,113 @@ def main() -> None:
         casc.resolve_compaction(),
     )
 
-    n_batches = 12
-    staged = []
-    for b in range(n_batches):
-        ys = np.stack([yuv_scenes[(b * batch + i) % n_scenes][0] for i in range(batch)])
-        uvs = np.stack([yuv_scenes[(b * batch + i) % n_scenes][1] for i in range(batch)])
-        staged.append((jax.device_put(jnp.asarray(ys)), jax.device_put(jnp.asarray(uvs))))
-    # warm the program + force staging to finish
-    _ = np.asarray(casc._cascade_infer_device_batch_yuv(*staged[0], *common))
+    n_frames = 192
+    ys_all = jax.device_put(
+        jnp.asarray(np.stack([yuv_scenes[i % n_scenes][0] for i in range(n_frames)]))
+    )
+    uvs_all = jax.device_put(
+        jnp.asarray(np.stack([yuv_scenes[i % n_scenes][1] for i in range(n_frames)]))
+    )
 
-    n_frames = n_batches * batch
-    staged_rates = []
-    for _rep in range(5):
+    # ---- batch_frames sweep + result coalescing (VERDICT r4 #2) -------
+    # the per-batch result fetch pays one tunnel round trip (~30 ms floor)
+    # per batch; coalescing every batch's packed rows into ONE device-side
+    # concat + a single fetch removes all but one round trip per rep, and
+    # larger batches amortize the per-dispatch cost. Every rep runs one
+    # UNRECORDED warmup first (VERDICT r4 #4: the r4 cold outlier sat
+    # inside the median window).
+    def run_staged(bs: int, n_reps: int = 5):
+        views = [
+            (
+                jax.lax.slice_in_dim(ys_all, s, s + bs, axis=0),
+                jax.lax.slice_in_dim(uvs_all, s, s + bs, axis=0),
+            )
+            for s in range(0, n_frames, bs)
+        ]
+        rates, phases = [], []
+        for rep in range(n_reps + 1):  # rep 0 = warmup (compile + cache warm)
+            t0 = time.perf_counter()
+            packed = [
+                casc._cascade_infer_device_batch_yuv(y, uv, *common)
+                for (y, uv) in views
+            ]
+            t1 = time.perf_counter()
+            rows = np.asarray(jnp.concatenate(packed, axis=0))
+            t2 = time.perf_counter()
+            for j in range(rows.shape[0]):
+                detector._unpack_row(rows[j], capacities, plan, table, False, 480)
+            t3 = time.perf_counter()
+            if rep == 0:
+                continue
+            rates.append(n_frames / (t3 - t0))
+            phases.append((t1 - t0, t2 - t1, t3 - t2))
+        rates.sort()
+        med = statistics.median(rates)
+        ph = {
+            "dispatch": round(statistics.median(p[0] for p in phases) / n_frames * 1e3, 3),
+            "device_concat_fetch": round(
+                statistics.median(p[1] for p in phases) / n_frames * 1e3, 3
+            ),
+            "host_nms_unpack": round(
+                statistics.median(p[2] for p in phases) / n_frames * 1e3, 3
+            ),
+        }
+        return rates, med, ph
+
+    staged_sweep = {}
+    for bs in (16, 32, 64):
+        rates, med, ph = run_staged(bs)
+        staged_sweep[bs] = {
+            "staged_fps": [round(r, 1) for r in rates],
+            "median": round(med, 2),
+            "phases_ms_per_frame": ph,
+        }
+        sys.stderr.write(
+            "staged bs={}: rates {} phases/frame {}\n".format(
+                bs, [round(r, 1) for r in rates], ph
+            )
+        )
+
+    # the r4 methodology (per-batch fetch at bs=16, no warmup discard) as a
+    # directly comparable reference point for the coalescing win
+    views16 = [
+        (
+            jax.lax.slice_in_dim(ys_all, s, s + batch, axis=0),
+            jax.lax.slice_in_dim(uvs_all, s, s + batch, axis=0),
+        )
+        for s in range(0, n_frames, batch)
+    ]
+    perfetch_rates = []
+    for rep in range(4):  # rep 0 = warmup
         t0 = time.perf_counter()
-        packed = [casc._cascade_infer_device_batch_yuv(y, uv, *common) for (y, uv) in staged]
-        for p in packed:  # fetch + host postprocess every frame
+        packed = [
+            casc._cascade_infer_device_batch_yuv(y, uv, *common) for (y, uv) in views16
+        ]
+        for p in packed:
             rows = np.asarray(p)
             for j in range(rows.shape[0]):
                 detector._unpack_row(rows[j], capacities, plan, table, False, 480)
-        staged_rates.append(n_frames / (time.perf_counter() - t0))
-    staged_rates.sort()
-    staged_median = statistics.median(staged_rates)
-    sys.stderr.write("staged rates: {}\n".format([round(r, 1) for r in staged_rates]))
+        if rep > 0:
+            perfetch_rates.append(n_frames / (time.perf_counter() - t0))
+    perfetch_rates.sort()
+    sys.stderr.write(
+        "staged per-batch-fetch (r4 method) rates: {}\n".format(
+            [round(r, 1) for r in perfetch_rates]
+        )
+    )
+
+    best_bs = max(staged_sweep, key=lambda b: staged_sweep[b]["median"])
+    staged_rates = [
+        float(r) for r in staged_sweep[best_bs]["staged_fps"]
+    ]
+    staged_median = staged_sweep[best_bs]["median"]
+    sys.stderr.write(
+        "staged headline: bs={} median {:.1f} fps\n".format(best_bs, staged_median)
+    )
 
     # ---- streaming measurement (transparency) --------------------------
     stream = [yuv_scenes[i % n_scenes] for i in range(n_frames)]
+    detector.detect_batch_yuv420(stream[: batch * 2])  # warmup (unrecorded)
     streaming_rates = []
     for _rep in range(4):
         t0 = time.perf_counter()
@@ -283,6 +365,7 @@ def main() -> None:
     # (program execution + packed-result readback), host unpack (NMS etc.);
     # the staged-vs-streaming gap is thereby measured, not asserted
     bytes_per_frame = yuv_scenes[0][0].nbytes + yuv_scenes[0][1].nbytes
+    n_batches = n_frames // batch
     phase_reps = []
     for _rep in range(3):
         t0 = time.perf_counter()
@@ -327,6 +410,7 @@ def main() -> None:
     # streaming rate (VERDICT r3 weak 7: make the format + the delta
     # recorded numbers, not an inference)
     rgb_stream = [scenes[i % n_scenes] for i in range(n_frames)]
+    detector.detect_batch(rgb_stream[: batch * 2])  # warmup/compile (unrecorded)
     rgb_rates = []
     for _rep in range(2):
         t0 = time.perf_counter()
@@ -456,18 +540,40 @@ def main() -> None:
             sys.stderr.write("stage accounting skipped: {}\n".format(exc))
 
     baseline_target = 50.0  # BASELINE.json north star (VGA fps/chip on v5e)
+    ingress_mbps = bytes_per_frame * n_frames / upload_s / 1e6
+    # link-normalized streaming figures (VERDICT r4 #4): the tunnel's
+    # measured MB/s sets a hard frames/sec ceiling; reporting the measured
+    # rate AS A FRACTION of that ceiling makes streaming comparable across
+    # rounds even when the shared relay's bandwidth drifts (r3 44 MB/s vs
+    # r4 16.3 MB/s halved the raw number with zero code change)
+    link_bound_fps = ingress_mbps * 1e6 / bytes_per_frame
+    streaming_median = statistics.median(streaming_rates)
+    rgb_link_bound = ingress_mbps * 1e6 / scenes[0].nbytes
     out = {
         "metric": "vga_full_pyramid_cascade_fps_per_chip",
         "value": round(staged_median, 2),
         "unit": "frames/sec",
         "vs_baseline": round(staged_median / baseline_target, 3),
-        "estimator": "median_of_5_staged_runs",
+        "estimator": "median_of_5_staged_runs_after_1_warmup",
         "staged_fps": [round(r, 1) for r in staged_rates],
+        "staged_batch_frames": int(best_bs),
+        "staged_fetch": "device_concat_single_fetch",
+        # per-batch-size medians + per-frame phase breakdown
+        # (dispatch / device+concat+fetch / host NMS+unpack)
+        "staged_sweep": {str(k): v for k, v in staged_sweep.items()},
+        # the r4 methodology (bs=16, one fetch round-trip per batch) for
+        # direct round-over-round comparison of the coalescing win
+        "staged_fps_perbatch_fetch_bs16": [round(r, 1) for r in perfetch_rates],
         "streaming_fps": [round(r, 1) for r in streaming_rates],
-        "streaming_fps_median": round(statistics.median(streaming_rates), 2),
+        "streaming_fps_median": round(streaming_median, 2),
         "streaming_format": "yuv420 (1.5 B/px; ops/color.py fused chroma->RGB)",
+        "streaming_link_bound_fps": round(link_bound_fps, 1),
+        "streaming_fraction_of_link_bound": round(
+            streaming_median / link_bound_fps, 3
+        ),
         "streaming_rgb_fps": [round(r, 1) for r in rgb_rates],
         "streaming_rgb_fps_median": round(statistics.median(rgb_rates), 2),
+        "streaming_rgb_link_bound_fps": round(rgb_link_bound, 1),
         "weights": weights,
         "capacities": list(capacities),
         "capacities_source": caps_source,
@@ -479,7 +585,7 @@ def main() -> None:
             "device_and_fetch": round(device_s / n_frames * 1e3, 2),
             "host_unpack": round(unpack_s / n_frames * 1e3, 2),
         },
-        "ingress_MBps": round(bytes_per_frame * n_frames / upload_s / 1e6, 1),
+        "ingress_MBps": round(ingress_mbps, 1),
     }
     if stage_accounting is not None:
         out["stage_accounting"] = stage_accounting

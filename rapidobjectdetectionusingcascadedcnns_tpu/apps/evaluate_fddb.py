@@ -147,6 +147,12 @@ class EvaluateFDDBApp(BaseApp):
         for name in ("contROC.p", "discROC.p"):
             plot = os.path.join(cf.get("fddb_gnuplot_compare_dir"), name)
             if os.path.exists(plot):
+                if shutil.which("gnuplot") is None:
+                    log.log(
+                        "gnuplot not installed; skipping ROC compare plot "
+                        "{}".format(plot)
+                    )
+                    continue
                 console.run(["gnuplot", plot])
         for name in ("contROC-compare.png", "discROC-compare.png"):
             src = os.path.join(cf.get("fddb_gnuplot_compare_dir"), name)

@@ -122,11 +122,23 @@ def test_cross_platform_check_artifact():
         assert ev["borderline"], flip
         if ev.get("mechanism") == "topology_flip":
             # borderline survivor flips elsewhere in the scene changed the
-            # clustering topology; the host NMS replay must reproduce both
-            # sides' outputs from their own pre-NMS survivor sets
+            # clustering topology; the production-NMS replay must reproduce
+            # both sides' outputs from their own pre-NMS survivor sets.
+            # Each flip must be borderline either at the FINAL threshold
+            # (confidence within conf_eps) or at an EARLIER stage gate
+            # (per-stage probe: both platforms within conf_eps of the
+            # threshold at the stage where their gate decisions diverge —
+            # the bf16 flip whose final confidence looks solid)
             assert ev["scene_flips"], flip
             for w in ev["scene_flips"]:
-                assert w["conf"] <= ev["threshold"] + ev["conf_eps"], flip
+                if w["conf"] <= ev["threshold"] + ev["conf_eps"]:
+                    continue
+                sm = w.get("stage_margin")
+                assert sm is not None and sm["stage_borderline"], flip
+                assert sm["divergent_stage"] is not None, flip
+                thr_d = sm["stage_threshold"]
+                assert abs(sm["p_tpu"] - thr_d) <= ev["conf_eps"], flip
+                assert abs(sm["p_cpu"] - thr_d) <= ev["conf_eps"], flip
             assert ev["replay_a"]["ok"] and ev["replay_b"]["ok"], flip
         else:
             assert ev["flipped_windows"], flip

@@ -445,6 +445,7 @@ def test_detections_match_reference_oracle_3stage(trained3):
     assert exact_scenes >= n_scenes // 2, (exact_scenes, n_scenes)
 
 
+@pytest.mark.dense
 def test_detections_match_reference_oracle_dense(trained):
     """The FDDB-density regime (VERDICT r3 item 3): one 450x450 scene at
     wsf 1.01 — 66,918 windows, 261 pyramid levels, within 2x of the FDDB

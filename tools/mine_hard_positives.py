@@ -92,6 +92,27 @@ def mine(model, n_scenes=400, seed0=MINE_SEED0, threshold=0.5):
                 best = int(np.argmax(win_iou))
                 if win_iou[best] >= 0.5:
                     crops.append(grid[best])
+                # scale/shift jitters of the GT box (VERDICT r4 #3): the
+                # stage-0-blind misses are appearance modes no aligned crop
+                # represents — present each missed face at the off-center /
+                # off-scale geometries the sliding grid will actually show
+                x0g, y0g, x1g, y1g = gt[gi]
+                cw, ch = x1g - x0g, y1g - y0g
+                cx, cy = (x0g + x1g) / 2.0, (y0g + y1g) / 2.0
+                for scale, dx, dy in (
+                    (0.85, 0.0, 0.0),
+                    (1.15, 0.0, 0.0),
+                    (1.0, 0.12, 0.0),
+                    (1.0, 0.0, 0.12),
+                ):
+                    half_w = cw * scale / 2.0
+                    half_h = ch * scale / 2.0
+                    jx, jy = cx + dx * cw, cy + dy * ch
+                    crops.append(
+                        np.array(
+                            [jx - half_w, jy - half_h, jx + half_w, jy + half_h]
+                        )
+                    )
                 for box in crops:
                     x0, y0, x1, y1 = [int(round(v)) for v in box]
                     x0, y0 = max(x0, 0), max(y0, 0)

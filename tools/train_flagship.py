@@ -194,6 +194,90 @@ def benchmark_scenes(n_scenes=100, seed0=100):
     return _SCENE_CACHE[key]
 
 
+def _miss_stage_probe(detector, image, gt, grid_boxes, plan, boxes_float,
+                      thr, iou_floor=0.3):
+    """Counterfactual per-stage foreground probabilities for the pyramid
+    windows overlapping one missed ground-truth face (VERDICT r4 #3: locate
+    WHERE in the cascade a missed face dies).
+
+    Stage 0 runs the production extraction path over the full plan (then
+    selects the overlapping rows); stages 1/2 run the production
+    re-extraction (`_apply_stage_on_boxes_chunked`) on the selected boxes
+    with real bottleneck chaining — every window is scored at every stage
+    regardless of whether the earlier gate would have killed it, so the
+    record distinguishes "stage 0 never fires" from "survives stage 0,
+    dies later" from "survives all gates, lost to NMS clustering"."""
+    import jax.numpy as jnp
+
+    from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
+    from rapidobjectdetectionusingcascadedcnns_tpu.models import cascade as casc
+    from rapidobjectdetectionusingcascadedcnns_tpu.ops import rectangles as rect_ops
+
+    model = detector.model
+    win_iou = rect_ops.iou_matrix(grid_boxes, np.asarray(gt, np.float64)[None])[:, 0]
+    sel = np.nonzero(win_iou >= iou_floor)[0]
+    out = {"n_windows_iou30": int(len(sel))}
+    if not len(sel):
+        out["stage_of_death"] = "no_overlapping_window"
+        return out
+
+    image_f = jnp.asarray(image, jnp.float32)
+    chunk = int(cf.get("inference_chunk_size"))
+    emode = casc.resolve_extraction_mode(plan)
+    impl = casc.resolve_resample_impl()
+    params = detector._params_device
+    stats = detector._stats_device
+    cfgs = model.stage_configs
+
+    probs0, bneck0, ids0, valid0 = casc._stage0_apply(
+        image_f, jnp.asarray(boxes_float, jnp.float32), plan,
+        params[0], cfgs[0], stats[0][0], stats[0][1], chunk, emode, impl,
+        False,
+    )
+    p0_rows = np.asarray(probs0)[:, 1]
+    b0_rows = np.asarray(bneck0)
+    if ids0 is not None:
+        ids0 = np.asarray(ids0)
+        valid0 = np.asarray(valid0)
+        p0 = np.full(plan.n_windows, np.nan)
+        b0 = np.zeros((plan.n_windows, b0_rows.shape[1]), b0_rows.dtype)
+        p0[ids0[valid0]] = p0_rows[valid0]
+        b0[ids0[valid0]] = b0_rows[valid0]
+    else:
+        p0, b0 = p0_rows, b0_rows
+    p0_sel = p0[sel]
+    sel_boxes = jnp.asarray(np.asarray(boxes_float)[sel], jnp.float32)
+
+    bneck = jnp.asarray(b0[sel])
+    stage_probs = [p0_sel]
+    for s in range(1, model.n_nets):
+        probs_s, bneck = casc._apply_stage_on_boxes_chunked(
+            image_f, sel_boxes, bneck, params[s], cfgs[s],
+            stats[s][0], stats[s][1], chunk, False, impl,
+        )
+        stage_probs.append(np.asarray(probs_s)[:, 1])
+
+    alive = np.ones(len(sel), bool)
+    stage_of_death = None
+    for s, ps in enumerate(stage_probs):
+        out[f"p{s}_max_all"] = round(float(np.nanmax(ps)), 3)
+        gated = np.where(alive, ps, -np.inf)
+        out[f"p{s}_max_surviving"] = (
+            round(float(gated.max()), 3) if np.isfinite(gated.max()) else None
+        )
+        alive = alive & (ps > thr)
+        out[f"n_alive_after_stage{s}"] = int(alive.sum())
+        if stage_of_death is None and not alive.any():
+            stage_of_death = s
+    if stage_of_death is None:
+        # windows passed every gate but no detection matched: the cluster
+        # fell to NMS (min_neighbors / averaging / containment)
+        stage_of_death = "nms"
+    out["stage_of_death"] = stage_of_death
+    out["best_window_iou"] = round(float(win_iou[sel].max()), 3)
+    return out
+
+
 def evaluate_on_scenes(model, n_scenes=100, seed0=100, threshold=0.5,
                        miss_analysis=True, min_neighbors=1):
     """Scene-level recall / false positives + survivor stats at the
@@ -226,7 +310,9 @@ def evaluate_on_scenes(model, n_scenes=100, seed0=100, threshold=0.5,
     if miss_analysis:
         plan = build_plan(480, 640, model.input_sizes[0], model.input_sizes[0],
                           cf.get("min_window_length"), cf.get("window_scale_factor"))
-        grid_boxes = window_table(plan)["coords_norm"].astype(np.float64)
+        table = window_table(plan)
+        grid_boxes = table["coords_norm"].astype(np.float64)
+        boxes_float = table["boxes_float"]
 
     tp = fn = fp = 0
     survivors = []
@@ -255,15 +341,19 @@ def evaluate_on_scenes(model, n_scenes=100, seed0=100, threshold=0.5,
                         np.asarray(gt, np.float64)[None], grid_boxes
                     ).max()
                 )
-                misses.append(
-                    {
-                        "scene": si,
-                        "gt": [float(v) for v in gt],
-                        "best_detection_iou": round(float(best_det), 3),
-                        "best_raw_window_iou": round(float(best_raw), 3),
-                        "grid_ceiling_iou": round(ceiling, 3),
-                    }
+                miss = {
+                    "scene": si,
+                    "gt": [float(v) for v in gt],
+                    "best_detection_iou": round(float(best_det), 3),
+                    "best_raw_window_iou": round(float(best_raw), 3),
+                    "grid_ceiling_iou": round(ceiling, 3),
+                }
+                # per-stage counterfactual probe: WHERE does this face die?
+                miss["stage_analysis"] = _miss_stage_probe(
+                    detector, scene.image, gt, grid_boxes, plan,
+                    boxes_float, threshold,
                 )
+                misses.append(miss)
         fp += len(res.boxes) - len(matched)
 
     survivors = np.asarray(survivors)
@@ -282,6 +372,11 @@ def evaluate_on_scenes(model, n_scenes=100, seed0=100, threshold=0.5,
         stats["misses"] = misses
         stats["misses_grid_limited"] = sum(
             1 for m in misses if m["grid_ceiling_iou"] <= 0.3
+        )
+        stats["misses_stage0_blind"] = sum(
+            1
+            for m in misses
+            if m.get("stage_analysis", {}).get("stage_of_death") == 0
         )
     return stats
 
