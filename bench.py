@@ -186,6 +186,11 @@ def main() -> None:
     # 171-179); falls back to the reference default 0.5 set above
     if quality and quality.get("threshold") is not None:
         cf.set("foreground_confidence_threshold", float(quality["threshold"]))
+    if quality and quality.get("min_neighbors") is not None:
+        # the shipped operating point carries BOTH inference knobs (round 5:
+        # mn=0 keeps singleton clusters — +2.3 recall points for +0.06
+        # FP/scene on the benchmark eval); bench NMS must match production
+        cf.set("nms_opencv_min_neighbors", int(quality["min_neighbors"]))
 
     # production capacity tuning: size the survivor buffers from the trained
     # model's MEASURED survivor distribution (tools/train_flagship.py eval)

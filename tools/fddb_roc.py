@@ -41,6 +41,16 @@ def main():
                          "defaults); writes fddb_roc_default.json so the "
                          "tuned artifact's config contribution is "
                          "attributable (VERDICT r3 item 9)")
+    ap.add_argument("--thr", type=float, default=None,
+                    help="override the export threshold (tuned mode defaults "
+                         "to the shipped operating threshold from "
+                         "flagship_eval.json). VERDICT r4 #5 attribution: "
+                         "--thr 0.5 runs auto-bucketed geometry at the "
+                         "reference threshold, isolating the bucketing "
+                         "contribution from the threshold contribution")
+    ap.add_argument("--out", default=None,
+                    help="artifact filename override (default fddb_roc.json "
+                         "/ fddb_roc_default.json)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -114,6 +124,8 @@ def main():
         if os.path.exists(eval_json):
             with open(eval_json) as f:
                 ship_thr = float(json.load(f).get("threshold", ship_thr))
+        if args.thr is not None:
+            ship_thr = args.thr
         cf.set("foreground_confidence_threshold", ship_thr)
 
     from rapidobjectdetectionusingcascadedcnns_tpu.apps.evaluate_fddb import (
@@ -141,7 +153,8 @@ def main():
     }
     dst = os.path.join(
         ARTIFACT_DIR,
-        "fddb_roc_default.json" if args.reference_default else "fddb_roc.json",
+        args.out
+        or ("fddb_roc_default.json" if args.reference_default else "fddb_roc.json"),
     )
     with open(dst, "w") as f:
         json.dump(roc, f, indent=1)

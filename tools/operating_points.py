@@ -22,7 +22,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
-MIN_NEIGHBORS = (1, 2)
+# mn=0 keeps singleton clusters (groupRectangles count > 0) — round 5's
+# stage-of-death probes showed 9/10 misses at the old shipped point were
+# full-cascade SURVIVORS whose 1-2 windows could not meet the >=2-member
+# bar, so the mn=0 column is where the recall headroom lives
+MIN_NEIGHBORS = (0, 1, 2)
 
 
 def main():
@@ -41,6 +45,7 @@ def main():
     from rapidobjectdetectionusingcascadedcnns_tpu import config as cf
 
     tf_mod.flagship_config(cf)
+    tf_mod.apply_recorded_overrides(cf)
 
     points = []
     for mn in MIN_NEIGHBORS:

@@ -400,25 +400,36 @@ def main():
         print("loaded cached flagship artifact")
 
     # shipped operating point: recall-first subject to the FP budget
-    # (<= 0.2 FP/scene), swept over thresholds — evaluating ONLY at the
-    # reference-default 0.5 made regenerated artifacts drift from the
-    # documented operating point whenever the curve moved (ADVICE r3)
+    # (<= 0.2 FP/scene), swept over BOTH inference knobs — the per-stage
+    # confidence threshold AND the groupRectangles min-neighbors bar.
+    # Round 5's stage-of-death probes showed 9/10 misses at (0.3, mn=1)
+    # were full-cascade survivors killed only by the >=2-member cluster
+    # requirement; mn=0 (keep singleton clusters, OpenCV count > 0
+    # semantics) recovers them for +0.06 FP/scene. The sweep runs without
+    # miss analysis (cheap); the winner is re-evaluated WITH the per-miss
+    # stage-of-death probes so the shipped artifact explains its own
+    # residual misses.
     FP_BUDGET = 0.2
-    best = None
-    for thr in (0.5, 0.4, 0.3):
-        stats = evaluate_on_scenes(model, threshold=thr)
-        print("thr {}: recall {} @ {} FP/scene".format(
-            thr, stats["recall"], stats["false_pos_per_scene"]))
-        if stats["false_pos_per_scene"] <= FP_BUDGET and (
-            best is None
-            or (stats["recall"], -stats["false_pos_per_scene"])
-            > (best["recall"], -best["false_pos_per_scene"])
-        ):
-            best = stats
-    stats = best if best is not None else evaluate_on_scenes(model)
+    best_cfg = None
+    best_key = None
+    for mn in (1, 0):
+        for thr in (0.5, 0.4, 0.3):
+            stats = evaluate_on_scenes(
+                model, threshold=thr, min_neighbors=mn, miss_analysis=False
+            )
+            print("thr {} mn {}: recall {} @ {} FP/scene".format(
+                thr, mn, stats["recall"], stats["false_pos_per_scene"]))
+            key = (stats["recall"], -stats["false_pos_per_scene"])
+            if stats["false_pos_per_scene"] <= FP_BUDGET and (
+                best_key is None or key > best_key
+            ):
+                best_key = key
+                best_cfg = (thr, mn)
+    thr, mn = best_cfg if best_cfg is not None else (0.5, 1)
+    stats = evaluate_on_scenes(model, threshold=thr, min_neighbors=mn)
     stats["operating_point_policy"] = (
         "max recall s.t. false_pos_per_scene <= {} over thresholds "
-        "(0.5, 0.4, 0.3)".format(FP_BUDGET)
+        "(0.5, 0.4, 0.3) x min_neighbors (1, 0)".format(FP_BUDGET)
     )
     print(json.dumps({k: v for k, v in stats.items() if k != "misses"}, indent=2))
     with open(os.path.join(ARTIFACT_DIR, "flagship_eval.json"), "w") as f:
