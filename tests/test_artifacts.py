@@ -78,6 +78,21 @@ def test_fddb_roc_artifacts():
     tuned = _load("fddb_roc.json")
     _check_roc(tuned)
     assert tuned["config"]["window_scale_factor"] <= 1.01
+    # VERDICT r4 #5 regression guard: the primary artifact must record
+    # CORPUS-DERIVED buckets (the synthetic corpus's exact sizes,
+    # data/fddb.make_synthetic_corpus seed=7) — the stale static 450-px
+    # list perturbed pyramid geometry for every image and cost 6 points
+    # of detection rate (0.944 -> 0.883, fddb_roc_legacy_knobs.json)
+    corpus_sizes = {(240, 320), (200, 280), (320, 240)}
+    recorded = {tuple(b) for b in tuned["config"]["resize_buckets"]}
+    assert recorded == corpus_sizes, recorded
+    # and the auto-bucket neutrality claim is machine-checked: the tuned
+    # curve's tail must match the exact-geometry default run
+    default = _load("fddb_roc_default.json")
+    assert (
+        tuned["roc"][-1]["detection_rate"]
+        >= default["roc"][-1]["detection_rate"]
+    )
 
 
 def test_fddb_roc_default_config_artifact():

@@ -805,6 +805,9 @@ def main(recompare: bool = False) -> int:
     quality = train_flagship.load_flagship_quality()
     assert quality is not None, "flagship_eval.json missing"
     cf.set("foreground_confidence_threshold", float(quality["threshold"]))
+    if quality.get("min_neighbors") is not None:
+        # shipped operating point carries both knobs (round 5: mn=0)
+        cf.set("nms_opencv_min_neighbors", int(quality["min_neighbors"]))
     cf.set("nms_on_device", True)
 
     cache_dir = os.path.join(CACHE_ROOT, _cache_key())

@@ -51,6 +51,12 @@ def main():
     ap.add_argument("--out", default=None,
                     help="artifact filename override (default fddb_roc.json "
                          "/ fddb_roc_default.json)")
+    ap.add_argument("--mn", type=int, default=None,
+                    help="groupRectangles min-neighbors override. Tuned mode "
+                         "defaults to the SHIPPED operating point's "
+                         "min_neighbors (flagship_eval.json; round 5 ships "
+                         "mn=0 — keep singleton clusters); reference-default "
+                         "mode keeps the reference's min_neighbors=1")
     args = ap.parse_args()
 
     if args.cpu:
@@ -80,7 +86,9 @@ def main():
 
     work = args.corpus_dir or tempfile.mkdtemp(prefix="fddb_roc_")
     if args.corpus_dir and os.path.exists(
-        os.path.join(args.corpus_dir, "folds", "FDDB-fold-01.txt")
+        # check the LAST fold: an interrupted synthesis leaves a partial
+        # corpus whose fold-01 exists but later folds don't
+        os.path.join(args.corpus_dir, "folds", "FDDB-fold-10.txt")
     ):
         img_base = os.path.join(args.corpus_dir, "images")
         folds_dir = os.path.join(args.corpus_dir, "folds")
@@ -120,13 +128,19 @@ def main():
         # official evaluator sweep the recorded scores, which is what the
         # scalar does.)
         ship_thr = 0.5
+        ship_mn = 1
         eval_json = os.path.join(ARTIFACT_DIR, "flagship_eval.json")
         if os.path.exists(eval_json):
             with open(eval_json) as f:
-                ship_thr = float(json.load(f).get("threshold", ship_thr))
+                q = json.load(f)
+            ship_thr = float(q.get("threshold", ship_thr))
+            ship_mn = int(q.get("min_neighbors", ship_mn))
         if args.thr is not None:
             ship_thr = args.thr
         cf.set("foreground_confidence_threshold", ship_thr)
+        cf.set("nms_opencv_min_neighbors", ship_mn)
+    if args.mn is not None:
+        cf.set("nms_opencv_min_neighbors", args.mn)
 
     from rapidobjectdetectionusingcascadedcnns_tpu.apps.evaluate_fddb import (
         EvaluateFDDBApp,
@@ -145,6 +159,7 @@ def main():
         "window_scale_factor": args.wsf,
         "imgs_per_fold": args.imgs_per_fold,
         "thresholds": cf.get("foreground_confidence_threshold"),
+        "min_neighbors": cf.get("nms_opencv_min_neighbors"),
         "resize_buckets": cf.get("inference_resize_buckets"),
         "wall_secs": round(wall, 1),
         "backend": jax.default_backend(),

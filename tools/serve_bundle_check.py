@@ -43,6 +43,9 @@ def main():
     with open(os.path.join(train_flagship.ARTIFACT_DIR, "flagship_eval.json")) as f:
         quality = json.load(f)
     cf.set("foreground_confidence_threshold", float(quality["threshold"]))
+    if quality.get("min_neighbors") is not None:
+        # shipped operating point carries both knobs (round 5: mn=0)
+        cf.set("nms_opencv_min_neighbors", int(quality["min_neighbors"]))
     cf.set("nms_on_device", True)
     caps = train_flagship.capacity_schedule_from_quality(quality)
     n_scenes = 32
