@@ -77,6 +77,13 @@ def _build_defaults() -> Dict[str, Any]:
     cf["window_scale_factor"] = 1.1
     cf["nms"] = NMS_OPENCV
     cf["nms_opencv_min_neighbors"] = 1
+    # OpenCV groupRectangles eps (SimilarRects relative tolerance). 0.2 is
+    # cv2's hardcoded default (what the reference uses implicitly). Exposed
+    # because eps controls union-find CHAINING: bridge windows between two
+    # nearby faces can merge both faces' clusters into one off-target
+    # average (measured: benchmark scene 52 loses a face with IoU-0.848
+    # surviving windows this way).
+    cf["nms_opencv_eps"] = 0.2
     cf["default_evaluation_model_cascade"] = "cnn_cascade_for_face_detection"
     cf["default_evaluation_model_single"] = "single_cnn_for_face_detection"
     cf["vertically_enlarge_bboxes"] = False

@@ -494,6 +494,7 @@ def _cascade_core(
     nms_min_neighbors: int = -1,
     resample_impl: str = "xla",
     compaction: str = "rank",
+    nms_eps: float = 0.2,
 ):
     """Full-cascade single-image inference (traceable core).
 
@@ -645,7 +646,7 @@ def _cascade_core(
             axis=1,
         )
         cl_avg, cl_weights, cl_keep = nms_ops.group_rectangles_jax(
-            xywh, alive, nms_min_neighbors
+            xywh, alive, nms_min_neighbors, eps=nms_eps
         )
         return (
             window_ids,
@@ -697,6 +698,7 @@ def _pack_result(window_ids, conf, alive, diagnostics, *nms_tail):
         "nms_min_neighbors",
         "resample_impl",
         "compaction",
+        "nms_eps",
     ),
 )
 def _cascade_infer_device(image, coords_norm, boxes_float, stage_params,
@@ -704,12 +706,13 @@ def _cascade_infer_device(image, coords_norm, boxes_float, stage_params,
                           confidence_mode, thresholds, high_precision=False,
                           extraction_mode="gather", chunk=16384,
                           nms_min_neighbors=-1, resample_impl="xla",
-                          compaction="rank"):
+                          compaction="rank", nms_eps=0.2):
     """Single-image jitted cascade program (kept for the graft entry point)."""
     return _cascade_core(
         image, coords_norm, boxes_float, stage_params, stage_stats, plan,
         stage_configs, capacities, confidence_mode, thresholds, high_precision,
         extraction_mode, chunk, nms_min_neighbors, resample_impl, compaction,
+        nms_eps,
     )
 
 
@@ -727,6 +730,7 @@ def _cascade_infer_device(image, coords_norm, boxes_float, stage_params,
         "nms_min_neighbors",
         "resample_impl",
         "compaction",
+        "nms_eps",
     ),
 )
 def _cascade_infer_device_batch(images, coords_norm, boxes_float, stage_params,
@@ -734,7 +738,7 @@ def _cascade_infer_device_batch(images, coords_norm, boxes_float, stage_params,
                                 confidence_mode, thresholds, high_precision=False,
                                 extraction_mode="gather", chunk=16384,
                                 nms_min_neighbors=-1, resample_impl="xla",
-                                compaction="rank"):
+                                compaction="rank", nms_eps=0.2):
     """Batched cascade program: (B, H, W, C) images -> one packed float32
     (B, 3*C_last + 2*n_stages - 1 [+ device-NMS tail]) result array in ONE
     device round-trip (see _pack_result for the exact layout).
@@ -751,7 +755,7 @@ def _cascade_infer_device_batch(images, coords_norm, boxes_float, stage_params,
             image, coords_norm, boxes_float, stage_params, stage_stats, plan,
             stage_configs, capacities, confidence_mode, thresholds,
             high_precision, extraction_mode, chunk, nms_min_neighbors,
-            resample_impl, compaction,
+            resample_impl, compaction, nms_eps,
         )
         return _pack_result(*out)
 
@@ -772,6 +776,7 @@ def _cascade_infer_device_batch(images, coords_norm, boxes_float, stage_params,
         "nms_min_neighbors",
         "resample_impl",
         "compaction",
+        "nms_eps",
     ),
 )
 def _cascade_infer_device_batch_yuv(y_planes, uv_planes, coords_norm, boxes_float,
@@ -779,7 +784,7 @@ def _cascade_infer_device_batch_yuv(y_planes, uv_planes, coords_norm, boxes_floa
                                     capacities, confidence_mode, thresholds,
                                     high_precision=False, extraction_mode="gather",
                                     chunk=16384, nms_min_neighbors=-1,
-                                    resample_impl="xla", compaction="rank"):
+                                    resample_impl="xla", compaction="rank", nms_eps=0.2):
     """Batched cascade over YUV420 frames: (B, H, W) Y + (B, H/2, W/2, 2) UV
     uint8 -> same packed result as the RGB program. Half the ingress bytes of
     RGB24 (see ops/color.py); conversion fuses into the program."""
@@ -792,7 +797,7 @@ def _cascade_infer_device_batch_yuv(y_planes, uv_planes, coords_norm, boxes_floa
             image, coords_norm, boxes_float, stage_params, stage_stats, plan,
             stage_configs, capacities, confidence_mode, thresholds,
             high_precision, extraction_mode, chunk, nms_min_neighbors,
-            resample_impl, compaction,
+            resample_impl, compaction, nms_eps,
         )
         return _pack_result(*out)
 
@@ -971,6 +976,7 @@ class CascadeDetector:
                     nms_mn,
                     resample or resolve_resample_impl(),
                     resolve_compaction(),
+                    float(cf.get("nms_opencv_eps")),
                 )
 
             # bounded software pipeline: keep `depth` chunks in flight so the
@@ -1042,6 +1048,7 @@ class CascadeDetector:
             nms_on_device,
             nms_mode=str(cf.get("nms")),
             nms_min_neighbors=int(cf.get("nms_opencv_min_neighbors")),
+            nms_eps=float(cf.get("nms_opencv_eps")),
             vertically_enlarge=bool(cf.get("vertically_enlarge_bboxes")),
         )
 
@@ -1155,6 +1162,7 @@ class CascadeDetector:
             conf,
             nms_mode=str(cf.get("nms")),
             nms_min_neighbors=int(cf.get("nms_opencv_min_neighbors")),
+            nms_eps=float(cf.get("nms_opencv_eps")),
             vertically_enlarge=bool(cf.get("vertically_enlarge_bboxes")),
         )
 

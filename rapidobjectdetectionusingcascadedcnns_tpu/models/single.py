@@ -228,7 +228,10 @@ def _postprocess(boxes: np.ndarray, conf: np.ndarray):
     if len(boxes) == 0:
         return np.zeros((0, 4), np.float64), np.zeros((0,), np.float64)
     if cf.get("nms") == cf.NMS_OPENCV:
-        out_boxes, weights = nms_ops.nms_boxes(boxes, cf.get("nms_opencv_min_neighbors"))
+        out_boxes, weights = nms_ops.nms_boxes(
+            boxes, cf.get("nms_opencv_min_neighbors"),
+            float(cf.get("nms_opencv_eps")),
+        )
         out_boxes = out_boxes.astype(np.float64)
         out_conf = weights.astype(np.float64)
     else:

@@ -63,6 +63,7 @@ def postprocess_raw(
     nms_mode: str,
     nms_min_neighbors: int,
     vertically_enlarge: bool,
+    nms_eps: float = 0.2,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side NMS + optional vertical enlargement
     (app/inference_app.py:219-231) — the single config-free implementation
@@ -71,7 +72,7 @@ def postprocess_raw(
     if len(boxes) == 0:
         return np.zeros((0, 4), np.float64), np.zeros((0,), np.float64)
     if nms_mode == cf.NMS_OPENCV:
-        out_boxes, weights = nms_ops.nms_boxes(boxes, nms_min_neighbors)
+        out_boxes, weights = nms_ops.nms_boxes(boxes, nms_min_neighbors, nms_eps)
         out_boxes = out_boxes.astype(np.float64)
         out_conf = weights.astype(np.float64)
     else:
@@ -93,6 +94,7 @@ def unpack_packed_row(
     nms_mode: str,
     nms_min_neighbors: int,
     vertically_enlarge: bool,
+    nms_eps: float = 0.2,
 ) -> DetectionResult:
     """Decode one image's packed result vector (models/cascade._pack_result
     layout) into a :class:`DetectionResult` — config-free: every knob the
@@ -132,6 +134,7 @@ def unpack_packed_row(
             nms_mode=nms_mode,
             nms_min_neighbors=nms_min_neighbors,
             vertically_enlarge=vertically_enlarge,
+            nms_eps=nms_eps,
         )
     return DetectionResult(
         boxes=boxes,
@@ -220,6 +223,7 @@ def export_detector(
     nms_on_device = bool(cf.get("nms_on_device")) and nms_mode == cf.NMS_OPENCV
     nms_min_neighbors = int(cf.get("nms_opencv_min_neighbors"))
     nms_mn = nms_min_neighbors if nms_on_device else -1
+    nms_eps = float(cf.get("nms_opencv_eps"))
     compaction = casc.resolve_compaction()
     impl = resample_impl or "xla"
     if impl == "pallas2dyn":
@@ -292,6 +296,7 @@ def export_detector(
                 nms_mn,
                 impl,
                 compaction,
+                nms_eps,
             )
             if yuv:
                 y, uv = frame_args
@@ -362,6 +367,7 @@ def export_detector(
         "nms_mode": nms_mode,
         "nms_on_device": nms_on_device,
         "nms_min_neighbors": nms_min_neighbors,
+        "nms_eps": nms_eps,
         "vertically_enlarge": bool(cf.get("vertically_enlarge_bboxes")),
         "platforms": list(programs[0].platforms),
         "weight_dtypes": [str(w.dtype) for w in weights],
@@ -642,6 +648,7 @@ class ServingDetector:
             nms_mode=m["nms_mode"],
             nms_min_neighbors=m["nms_min_neighbors"],
             vertically_enlarge=m["vertically_enlarge"],
+            nms_eps=float(m.get("nms_eps", 0.2)),
         )
 
     def _saturated(self, result: DetectionResult, rung: int) -> bool:
@@ -779,6 +786,7 @@ class WindowShardedServingDetector:
                 nms_mode=m["nms_mode"],
                 nms_min_neighbors=m["nms_min_neighbors"],
                 vertically_enlarge=m["vertically_enlarge"],
+                nms_eps=float(m.get("nms_eps", 0.2)),
             )
             return DetectionResult(
                 boxes=boxes,

@@ -266,3 +266,59 @@ def test_jax_variant_matches_numpy(rng):
         ref_r, ref_w = nms.group_rectangles(rects, mn)
         ref = [tuple(r.tolist()) + (int(w),) for r, w in zip(ref_r, ref_w)]
         assert sorted(ours) == sorted(ref)
+
+
+def test_eps_controls_chaining():
+    """nms_opencv_eps is a real knob (round 5): a bridge rect chains two
+    clusters into one off-target average at the cv2-default eps=0.2; a
+    smaller eps breaks the chain and keeps the two faces separate (the
+    benchmark scene-52 failure mode, NOTES.md round 5)."""
+    # two 3-member clusters 36 px apart (similarity delta at eps=0.2 is
+    # 0.2*0.5*(60+60)=12 px, so they never link directly) plus two bridge
+    # rects at 12 px steps: the bridges chain everything into ONE cluster
+    # at eps=0.2; at eps=0.1 (delta 6) the chain breaks, the singleton
+    # bridges fall to phase-2 containment (n<3 inside a stronger box,
+    # fixed 0.2 margin), and the two real clusters survive separately
+    a = np.array([[100, 100, 60, 60], [102, 101, 60, 60], [101, 99, 60, 60]])
+    b = np.array([[136, 100, 60, 60], [138, 101, 60, 60], [137, 99, 60, 60]])
+    bridge = np.array([[113, 100, 60, 60], [125, 100, 60, 60]])
+    rects = np.concatenate([a, b, bridge])
+    kept_wide, w_wide = nms.group_rectangles(rects, 0, eps=0.2)
+    kept_narrow, w_narrow = nms.group_rectangles(rects, 0, eps=0.1)
+    # eps=0.2: |dx|=45 <= 0.2*0.5*(60+60)=... chains everything into ONE
+    assert len(kept_wide) == 1 and w_wide[0] == 8
+    assert len(kept_narrow) == 2 and sorted(w_narrow.tolist()) == [3, 3]
+    # the jax variant honors the same eps
+    import jax.numpy as jnp
+
+    avg, counts, keep = nms.group_rectangles_jax(
+        jnp.asarray(rects, jnp.float32), jnp.asarray(np.ones(len(rects), bool)),
+        0, eps=0.1,
+    )
+    ours = [
+        tuple(np.asarray(avg[i]).tolist()) + (int(counts[i]),)
+        for i in range(len(rects))
+        if bool(keep[i])
+    ]
+    ref = [tuple(r.tolist()) + (int(w),) for r, w in zip(kept_narrow, w_narrow)]
+    assert sorted(ours) == sorted(ref)
+
+
+def test_postprocess_raw_honors_eps_config():
+    from rapidobjectdetectionusingcascadedcnns_tpu.serve import postprocess_raw
+
+    boxes = np.array(
+        [[100, 100, 160, 160], [102, 101, 162, 161], [101, 99, 161, 159],
+         [136, 100, 196, 160], [138, 101, 198, 161], [137, 99, 197, 159],
+         [113, 100, 173, 160], [125, 100, 185, 160]], float,
+    )
+    conf = np.ones(len(boxes))
+    wide, _ = postprocess_raw(
+        boxes, conf, nms_mode="NMS_OPENCV", nms_min_neighbors=0,
+        vertically_enlarge=False, nms_eps=0.2,
+    )
+    narrow, _ = postprocess_raw(
+        boxes, conf, nms_mode="NMS_OPENCV", nms_min_neighbors=0,
+        vertically_enlarge=False, nms_eps=0.1,
+    )
+    assert len(narrow) > len(wide)

@@ -95,7 +95,8 @@ def _child(bundle_dir: str, out_path: str) -> None:
         )
 
 
-def _analyze_extra(extra, present, absent, nms_min_neighbors, threshold, conf_eps):
+def _analyze_extra(extra, present, absent, nms_min_neighbors, threshold, conf_eps,
+                   nms_eps=0.2):
     """Window-level evidence for one unmatched detection cluster.
 
     ``present``/``absent`` are the per-scene dicts of the side that emitted
@@ -133,7 +134,7 @@ def _analyze_extra(extra, present, absent, nms_min_neighbors, threshold, conf_ep
         axis=1,
     )
     sim = nms_ops._similarity_matrix(
-        np.concatenate([rep_xywh, win_xywh], axis=0), eps=0.2
+        np.concatenate([rep_xywh, win_xywh], axis=0), eps=nms_eps
     )[0, 1:]
     members = np.nonzero(sim)[0]
     flipped = [
@@ -185,6 +186,7 @@ def _replay_nms(raw_boxes, raw_confs, nms):
             nms_mode=nms["nms_mode"],
             nms_min_neighbors=nms["nms_min_neighbors"],
             vertically_enlarge=nms["vertically_enlarge"],
+            nms_eps=float(nms.get("nms_eps", 0.2)),
         )
     import jax
     import jax.numpy as jnp
@@ -215,6 +217,7 @@ def _replay_nms(raw_boxes, raw_confs, nms):
             jnp.asarray(xywh, jnp.float32),
             jnp.ones((len(xywh),), bool),
             nms["nms_min_neighbors"],
+            eps=float(nms.get("nms_eps", 0.2)),
         )
     avg = np.asarray(avg)[np.asarray(keep)]
     weights = np.asarray(weights)[np.asarray(keep)]
@@ -546,6 +549,7 @@ def compare_detections(
     nms_on_device: bool = False,
     stage_probes: dict = None,
     stage_thresholds: list = None,
+    nms_eps: float = 0.2,
 ) -> dict:
     """Order-insensitive per-scene comparison with window-level flip analysis.
 
@@ -574,6 +578,7 @@ def compare_detections(
     nms = {
         "nms_mode": nms_mode,
         "nms_min_neighbors": nms_min_neighbors,
+        "nms_eps": nms_eps,
         "vertically_enlarge": vertically_enlarge,
         "nms_on_device": nms_on_device,
     }
@@ -617,7 +622,8 @@ def compare_detections(
             }
             if has_raw and threshold is not None:
                 extra["evidence"] = _analyze_extra(
-                    extra, long_, short, nms_min_neighbors, threshold, conf_eps
+                    extra, long_, short, nms_min_neighbors, threshold, conf_eps,
+                    nms_eps=nms_eps,
                 )
                 ok_extra = extra["evidence"]["borderline"]
                 if not ok_extra:
@@ -848,6 +854,7 @@ def main(recompare: bool = False) -> int:
             nms_on_device=bool(meta["nms_on_device"]),
             stage_probes=probes,
             stage_thresholds=[float(t) for t in meta["thresholds"]],
+            nms_eps=float(meta.get("nms_eps", 0.2)),
         )
 
     probe_path = os.path.join(cache_dir, "stage_probes.json")
