@@ -42,6 +42,15 @@ import time
 # backend init + one tiny compile (~20-40 s normally; minutes when the
 # remote-compile service is cold). Only a genuinely dead tunnel exceeds it.
 PROBE_DEADLINE_S = int(os.environ.get("RODC_BENCH_PROBE_DEADLINE_S", "600"))
+# Tunnel outages are transient (observed live 2026-08-19 and 2026-08-21:
+# the remote side drops for 1-2 h and comes back). A bench run is the
+# round's ONE recorded headline, so rather than failing on the first dead
+# probe, retry the cheap probe across a recovery window and only then emit
+# the error JSON. RODC_BENCH_PROBE_RETRY_WINDOW_S=0 restores fail-fast.
+PROBE_RETRY_WINDOW_S = int(
+    os.environ.get("RODC_BENCH_PROBE_RETRY_WINDOW_S", "3600")
+)
+PROBE_RETRY_INTERVAL_S = 120
 
 _PROBE_SRC = (
     "import jax, jax.numpy as jnp;"
@@ -50,7 +59,25 @@ _PROBE_SRC = (
 )
 
 
-def _backend_alive() -> bool:
+def _backend_alive_with_retry() -> bool:
+    """One full-deadline probe, then cheap retries across the recovery
+    window (tunnel outages are transient — see PROBE_RETRY_WINDOW_S)."""
+    if _backend_alive():
+        return True
+    t0 = time.time()
+    while time.time() - t0 < PROBE_RETRY_WINDOW_S:
+        sys.stderr.write(
+            "tunnel probe failed; retrying for another {:.0f}s...\n".format(
+                PROBE_RETRY_WINDOW_S - (time.time() - t0)
+            )
+        )
+        time.sleep(PROBE_RETRY_INTERVAL_S)
+        if _backend_alive(deadline_s=180):
+            return True
+    return False
+
+
+def _backend_alive(deadline_s: int = None) -> bool:
     """Probe the accelerator in a SUBPROCESS with a hard deadline.
 
     The environment's TPU is reached through a stdio relay tunnel; when the
@@ -65,7 +92,7 @@ def _backend_alive() -> bool:
             [sys.executable, "-c", _PROBE_SRC],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
-            timeout=PROBE_DEADLINE_S,
+            timeout=deadline_s or PROBE_DEADLINE_S,
         )
     except subprocess.TimeoutExpired:
         return False
@@ -76,7 +103,10 @@ def _backend_alive() -> bool:
 
 
 def main() -> None:
-    if os.environ.get("RODC_BENCH_NO_PROBE") != "1" and not _backend_alive():
+    if (
+        os.environ.get("RODC_BENCH_NO_PROBE") != "1"
+        and not _backend_alive_with_retry()
+    ):
         sys.stderr.write(
             "FATAL: accelerator backend unreachable within {}s — the TPU "
             "tunnel is down; refusing to hang.\n".format(PROBE_DEADLINE_S)

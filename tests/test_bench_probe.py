@@ -26,7 +26,10 @@ def _import_bench():
 
 def test_dead_backend_emits_error_json_and_exits_nonzero(monkeypatch, capsys):
     bench = _import_bench()
-    monkeypatch.setattr(bench, "_backend_alive", lambda: False)
+    monkeypatch.setattr(bench, "_backend_alive", lambda deadline_s=None: False)
+    # retries are for the real driver run (round 5: outages are transient);
+    # the contract under test is the eventual error JSON, not the waiting
+    monkeypatch.setattr(bench, "PROBE_RETRY_WINDOW_S", 0)
     monkeypatch.delenv("RODC_BENCH_NO_PROBE", raising=False)
     with pytest.raises(SystemExit) as exc:
         bench.main()
